@@ -1,0 +1,99 @@
+"""Map configuration.
+
+The reference (chad_tsdf) exposes exactly two runtime knobs — ``sdf_res`` and
+``sdf_trunc`` (reference: include/chad/tsdf.hpp:29) — and hardcodes everything
+else: submap rotation distance 5.0 m (src/chad/tsdf.cpp:52), normal
+neighbourhood ``min_points = 8`` with up to 3 Morton coarsening levels
+(include/chad/detail/normals.hpp:88,94), 8-bit TSDF quantization
+(include/chad/cluster.hpp:15), and 21 octree levels
+(include/chad/detail/levels.hpp:195).  Here every constant is a named,
+documented field of one frozen dataclass.
+
+TPU-specific capacity fields exist because XLA compiles static shapes: points
+per insert, DDA sample budget, block-pool capacity etc. are fixed at trace
+time, with overflow surfaced through counters (never silent truncation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    # --- core TSDF parameters (reference tsdf.hpp:29) ---
+    sdf_res: float = 0.05       # voxel edge length [m]
+    sdf_trunc: float = 0.1      # truncation distance [m]
+
+    # --- submapping (reference tsdf.cpp:52) ---
+    submap_distance: float = 5.0   # travel distance before submap rotation [m]
+
+    # --- normal estimation (reference normals.hpp:88,94) ---
+    normal_min_points: int = 8     # min neighbourhood size for a plane fit
+    normal_max_depth: int = 3      # Morton coarsening rounds (0,3,6 bits)
+
+    # --- static capacities (TPU: shapes are compile-time constants) ---
+    # max points per insert() call; longer clouds are processed in chunks
+    max_points: int = 1 << 20
+    # DDA ray-sample slots per point; None = auto from trunc/res (see dda_steps)
+    max_steps: int | None = None
+    # capacity of the active block pool (blocks of 8x8x8 voxels)
+    block_capacity: int = 1 << 18
+    # max distinct blocks touched by one insert
+    touched_capacity: int = 1 << 15
+    # local block-coordinate extent: blocks per axis = 2**block_bits,
+    # centred on the submap origin.  10 bits -> 1024 blocks -> 409.6 m at
+    # res=0.05.  Must satisfy 3*block_bits <= 31 (single int32 Morton key).
+    block_bits: int = 10
+
+    # --- meshing ---
+    # the reference meshes only the first submap (tsdf.cpp:85, a documented
+    # limitation); False = mesh the union of all submaps.
+    mesh_first_submap_only: bool = False
+    # write the LVR2-compatible binary .grid dump on save() (lvr2.cpp:290
+    # writes it unconditionally; here it is opt-in)
+    save_grid: bool = False
+
+    # --- execution ---
+    # 'auto' -> pallas on TPU, XLA scatter elsewhere; or 'pallas' / 'xla'
+    accumulate_impl: str = "auto"
+    # print per-stage wall times like the reference's fmt timers
+    # (morton.hpp:78,100, normals.hpp:146, octree.hpp:169, tsdf.cpp:74)
+    profile: bool = False
+
+    # ------------------------------------------------------------------
+    @property
+    def dda_steps(self) -> int:
+        """Ray-sample slots per point.
+
+        The Amanatides–Woo traversal (reference octree.hpp:92-152) visits
+        ``sum_axis |v_final - v_start| + 1`` voxels, bounded by
+        ``2*trunc/res * (|dx|+|dy|+|dz|) + 3`` with the L1 norm of a unit
+        direction at most sqrt(3).
+        """
+        if self.max_steps is not None:
+            return self.max_steps
+        ratio = 2.0 * self.sdf_trunc / self.sdf_res
+        return int(math.ceil(ratio * math.sqrt(3.0))) + 4
+
+    @property
+    def blocks_per_axis(self) -> int:
+        return 1 << self.block_bits
+
+    @property
+    def local_extent_m(self) -> float:
+        """Half-extent of the active map around the submap origin [m]."""
+        return self.blocks_per_axis / 2 * 8 * self.sdf_res
+
+    @property
+    def sample_capacity(self) -> int:
+        return self.max_points * self.dda_steps
+
+    def __post_init__(self):
+        if self.sdf_res <= 0 or self.sdf_trunc <= 0:
+            raise ValueError("sdf_res and sdf_trunc must be positive")
+        if 3 * self.block_bits > 31:
+            raise ValueError("block_bits too large for int32 Morton keys")
+        if self.accumulate_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"bad accumulate_impl {self.accumulate_impl!r}")

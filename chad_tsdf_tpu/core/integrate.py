@@ -1,0 +1,187 @@
+"""The insert pipeline — one fused jit per scan.
+
+Mirrors the reference hot path ``TSDFMap::insert`` (reference:
+src/chad/tsdf.cpp:39-75):
+
+  reference (scalar, hashmap-based)          TPU-native (this module)
+  -----------------------------------       --------------------------------
+  calc_morton_vector  morton.hpp:59-80  ->  local (block, offset) int32 keys
+  sort_morton_vector  morton.hpp:81-102 ->  lax.sort, 2 keys (ascending*)
+  estimate_normals    normals.hpp:81-148->  segmented-scan plane fits
+  Octree::insert DDA  octree.hpp:92-152 ->  lax.scan fixed-K traversal
+  per-voxel hashmap upsert + weighted    ->  sample sort by block + touched-
+  mean                octree.hpp:153-163    block segments + Pallas/MXU
+                                            accumulation into the block pool
+
+(*) the reference sorts descending (morton.hpp:85-89); ascending is
+equivalent for every consumer here (segments and sums are order-free) and is
+what jax.lax.sort provides natively.  Documented deviation per SURVEY §7.
+
+Everything runs in one ``jax.jit`` with static shapes; validity masks and
+overflow counters handle the dynamic sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MapConfig
+from ..ops import accumulate, dda, morton, normals, segops
+from .state import INT32_MAX, ActiveMapState
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def insert_step(state: ActiveMapState, points: jnp.ndarray,
+                n_points: jnp.ndarray, position: jnp.ndarray,
+                config: MapConfig):
+    """Integrate one (padded) point cloud into the active map.
+
+    Args:
+      state: ActiveMapState.
+      points: f32[N, 3] world points, padded to config.max_points.
+      n_points: i32[] number of valid rows in ``points``.
+      position: f32[3] scanner position.
+    Returns:
+      (new_state, metrics dict).
+    """
+    n = points.shape[0]
+    k = config.dda_steps
+    res, trunc = config.sdf_res, config.sdf_trunc
+    extent = config.blocks_per_axis * 8
+    cb = config.block_capacity
+    t_cap = config.touched_capacity
+    reserved_row = cb - 1          # dummy row for the Pallas kernel
+    usable_blocks = cb - 1
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    in_cloud = idx < n_points
+    origin_voxel = state.origin_blocks * 8
+
+    # ---- Morton keys + sort (tsdf.cpp:64-65) ----
+    local, in_range = morton.points_to_local_voxels(points, origin_voxel,
+                                                    extent, res)
+    valid_pt = in_cloud & in_range
+    pt_overflow = jnp.sum(in_cloud & ~in_range).astype(jnp.int32)
+    bkey = morton.encode_block(local[:, 0] >> 3, local[:, 1] >> 3,
+                               local[:, 2] >> 3)
+    okey = morton.encode_offset(local[:, 0] & 7, local[:, 1] & 7,
+                                local[:, 2] & 7)
+    bkey = jnp.where(valid_pt, bkey, INT32_MAX)
+    okey = jnp.where(valid_pt, okey, INT32_MAX)
+    sb, so, perm = jax.lax.sort((bkey, okey, idx), num_keys=2)
+    pts = points[perm]
+    valid_sorted = valid_pt[perm]
+
+    # ---- normals (tsdf.cpp:67) ----
+    nrm = normals.estimate_normals(pts, sb, so, valid_sorted, position,
+                                   config.normal_min_points,
+                                   config.normal_max_depth)
+
+    # ---- DDA traversal + signed distances (octree.hpp:92-163) ----
+    vox, vvalid = dda.traverse(pts, position, res, trunc, k)
+    sd = dda.signed_distances(vox, pts, nrm, res, trunc)
+    vvalid = vvalid & valid_sorted[:, None]
+
+    lv = vox - origin_voxel[None, None, :]
+    s_in_range = jnp.all((lv >= 0) & (lv < extent), axis=-1)
+    samp_overflow = jnp.sum(vvalid & ~s_in_range).astype(jnp.int32)
+    vvalid = vvalid & s_in_range
+    lv = jnp.clip(lv, 0, extent - 1)
+
+    s_bkey = morton.encode_block(lv[..., 0] >> 3, lv[..., 1] >> 3,
+                                 lv[..., 2] >> 3)
+    s_okey = morton.encode_offset(lv[..., 0] & 7, lv[..., 1] & 7,
+                                  lv[..., 2] & 7)
+    s_bkey = jnp.where(vvalid, s_bkey, INT32_MAX).reshape(-1)
+    s_okey = jnp.where(vvalid, s_okey, 0).reshape(-1)
+    s_sd = jnp.where(vvalid, sd, 0.0).reshape(-1)
+
+    # ---- sort samples by block key (single int32 key) ----
+    s_bkey, s_okey, s_sd = jax.lax.sort((s_bkey, s_okey, s_sd), num_keys=1)
+    total = n * k
+    n_valid_samples = jnp.sum(s_bkey != INT32_MAX).astype(jnp.int32)
+
+    # ---- touched-block segments (compaction via rank search, no scatter) ----
+    flags = segops.boundary_flags(s_bkey) & (s_bkey != INT32_MAX)
+    # t_cap + 1 positions so the segment after the last kept block is known
+    starts_full, _, t_total = segops.compact_flag_positions(flags, t_cap + 1)
+    starts = starts_full[:t_cap]
+    t_count = jnp.minimum(t_total, t_cap)
+    touched_overflow = jnp.maximum(t_total - t_cap, 0).astype(jnp.int32)
+    tvalid = jnp.arange(t_cap, dtype=jnp.int32) < t_count
+    ends = jnp.minimum(starts_full[1:], n_valid_samples)
+    starts_c = jnp.minimum(starts, total - 1)
+    lens = jnp.where(tvalid, jnp.maximum(ends - starts, 0), 0)
+    tb_keys = jnp.where(tvalid, s_bkey[starts_c], INT32_MAX)
+
+    # ---- directory lookup + allocation of new blocks ----
+    pos = jnp.searchsorted(state.dir_keys, tb_keys).astype(jnp.int32)
+    pos_c = jnp.minimum(pos, cb - 1)
+    found = (state.dir_keys[pos_c] == tb_keys) & tvalid
+    is_new = tvalid & ~found
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32))
+    n_new = new_rank[-1]
+    slot_if_new = state.n_blocks + new_rank - 1
+    fits = slot_if_new < usable_blocks
+    block_overflow = jnp.sum(is_new & ~fits).astype(jnp.int32)
+    tb_slots = jnp.where(found, state.dir_slots[pos_c],
+                         jnp.where(fits, slot_if_new, reserved_row))
+    tb_slots = jnp.where(tvalid, tb_slots, reserved_row)
+    # drop samples of overflowed blocks
+    lens = jnp.where(tb_slots == reserved_row, 0, lens)
+
+    # rebuild the sorted directory by merging the new keys
+    append_keys = jnp.where(is_new & fits, tb_keys, INT32_MAX)
+    append_slots = jnp.where(is_new & fits, slot_if_new, 0)
+    mk = jnp.concatenate([state.dir_keys, append_keys])
+    ms = jnp.concatenate([state.dir_slots, append_slots])
+    mk, ms = jax.lax.sort((mk, ms), num_keys=1)
+    dir_keys = mk[:cb]
+    dir_slots = ms[:cb]
+    n_blocks = jnp.minimum(state.n_blocks + n_new, usable_blocks)
+
+    # ---- accumulate into the pool ----
+    use_pallas = _use_pallas(config)
+    if use_pallas:
+        pad = jnp.zeros((accumulate.CHUNK,), jnp.float32)
+        pool = accumulate.accumulate_pallas(
+            state.pool, starts_c, lens, tb_slots,
+            jnp.concatenate([s_okey, pad.astype(jnp.int32)]),
+            jnp.concatenate([s_sd, pad]),
+            touched_capacity=t_cap)
+    else:
+        # per-sample slot via dense segment fill (no big searchsorted)
+        t_idx = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        t_idx_c = jnp.clip(t_idx, 0, t_cap - 1)
+        slot_per_sample = tb_slots[t_idx_c]
+        sample_ok = (s_bkey != INT32_MAX) & (t_idx < t_cap) & \
+            (slot_per_sample != reserved_row)
+        pool = accumulate.accumulate_xla(state.pool, slot_per_sample,
+                                         s_okey, s_sd, sample_ok)
+
+    new_state = ActiveMapState(
+        dir_keys=dir_keys, dir_slots=dir_slots, n_blocks=n_blocks,
+        pool=pool, origin_blocks=state.origin_blocks,
+        point_overflow=state.point_overflow + pt_overflow,
+        sample_overflow=state.sample_overflow + samp_overflow,
+        block_overflow=state.block_overflow + block_overflow,
+        touched_overflow=state.touched_overflow + touched_overflow,
+    )
+    metrics = {
+        "n_valid_samples": n_valid_samples,
+        "n_touched_blocks": t_count,
+        "n_new_blocks": n_new,
+        "n_blocks": n_blocks,
+    }
+    return new_state, metrics
+
+
+def _use_pallas(config: MapConfig) -> bool:
+    if config.accumulate_impl == "pallas":
+        return True
+    if config.accumulate_impl == "xla":
+        return False
+    return jax.default_backend() == "tpu"
