@@ -1,0 +1,204 @@
+"""Hash-consed DAG levels — the compressed persistent map.
+
+Re-implements the reference's ``NodeLevel`` / ``LeafClusterLevel`` /
+``NodeLevels`` (reference: include/chad/detail/levels.hpp:8-200) with the
+same storage layout, so compression behaviour is directly comparable:
+
+* a node level is one flat uint32 pool; a node is ``[8-bit child mask,
+  addr x popcount(mask)]`` and its address is its offset in the pool
+  (levels.hpp:62-74); address 0 is reserved null.
+* the leaf-cluster level is a flat uint64 pool, 1-based addresses
+  (levels.hpp:116-139).
+* deduplication ("hash consing") returns the canonical address for an
+  identical existing node; ``uniques_n``/``dupes_n`` counters track the
+  compression ratio (levels.hpp:80-87) — and unlike the reference, they are
+  surfaced through ``TSDFMap.stats()``.
+* the structure is global: one ``NodeLevels`` is shared by all submaps, so
+  identical geometry dedups across submaps too (tsdf.cpp:30).
+
+This is host-side code by design: finalization is rare (once per ~5 m of
+travel, tsdf.cpp:52) and hash-consing is an inherently pointer-ish workload;
+the heavy per-voxel math stays on device (see submap.py).  Batches are
+deduplicated vectorially with ``np.unique`` first, so the python dict only
+sees novel contents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_DEPTH = 20  # 20 node levels + 1 leaf-cluster level (levels.hpp:194-199)
+
+
+class NodeLevel:
+    def __init__(self):
+        self._raw = np.zeros(1024, np.uint32)
+        self._occupied = 1            # index 0 reserved (levels.hpp:52-54)
+        self._index: dict[bytes, int] = {}
+        self.uniques_n = 0
+        self.dupes_n = 0
+
+    @property
+    def raw(self) -> np.ndarray:
+        return self._raw[:self._occupied]
+
+    def _reserve(self, extra: int):
+        need = self._occupied + extra
+        if need > self._raw.shape[0]:
+            cap = max(need, 2 * self._raw.shape[0])
+            new = np.zeros(cap, np.uint32)
+            new[:self._occupied] = self._raw[:self._occupied]
+            self._raw = new
+
+    def add_batch(self, children: np.ndarray) -> np.ndarray:
+        """Add nodes given (M, 8) uint32 child addresses (0 = absent).
+
+        Returns (M,) uint32 canonical addresses.  Matches NodeLevel::add
+        (levels.hpp:57-88): mask = bit per present child, children stored
+        compacted.
+        """
+        children = np.ascontiguousarray(children, np.uint32)
+        m = children.shape[0]
+        if m == 0:
+            return np.zeros(0, np.uint32)
+        uniq, inverse = np.unique(children, axis=0, return_inverse=True)
+        addrs = np.zeros(uniq.shape[0], np.uint32)
+        masks = (uniq != 0).astype(np.uint32)
+        mask_bits = (masks << np.arange(8, dtype=np.uint32)).sum(1)
+        counts = masks.sum(1)
+        self._reserve(int(counts.sum()) + 9 * uniq.shape[0])
+        raw = self._raw
+        new_n = 0
+        for i in range(uniq.shape[0]):
+            key = uniq[i].tobytes()
+            addr = self._index.get(key)
+            if addr is None:
+                addr = self._occupied
+                raw[addr] = mask_bits[i]
+                kids = uniq[i]
+                kids = kids[kids != 0]
+                n = kids.shape[0]
+                raw[addr + 1:addr + 1 + n] = kids
+                self._occupied = addr + 1 + n
+                self._index[key] = addr
+                new_n += 1
+            addrs[i] = addr
+        # counters match the reference's per-add semantics (levels.hpp:80-87):
+        # every submitted node is either a fresh unique or a duplicate
+        self.uniques_n += new_n
+        self.dupes_n += m - new_n
+        return addrs[inverse]
+
+    # ---- vectorized lookups over the packed layout ----
+    def child_addrs(self, addrs: np.ndarray) -> np.ndarray:
+        """(M,) node addresses -> (M, 8) child addresses (0 = absent).
+
+        Vectorized form of NodeLevels::get_child_addr's mask/rank arithmetic
+        (levels.hpp:147-161).
+        """
+        raw = self.raw
+        masks = raw[addrs]
+        out = np.zeros((addrs.shape[0], 8), np.uint32)
+        for ci in range(8):
+            bit = np.uint32(1 << ci)
+            present = (masks & bit) != 0
+            below = masks & np.uint32(bit - 1)
+            rank = _popcount8(below)
+            idx = addrs + rank + 1
+            vals = raw[np.where(present, idx, 0)]
+            out[:, ci] = np.where(present, vals, 0)
+        return out
+
+
+def _popcount8(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint32)
+    x = x - ((x >> 1) & 0x55)
+    x = (x & 0x33) + ((x >> 2) & 0x33)
+    return (x + (x >> 4)) & 0x0F
+
+
+class LeafClusterLevel:
+    def __init__(self):
+        self._raw = np.zeros(1024, np.uint64)
+        self._n = 1                   # index 0 reserved (levels.hpp:119-120)
+        self._index: dict[int, int] = {}
+        self.uniques_n = 0
+        self.dupes_n = 0
+
+    @property
+    def raw(self) -> np.ndarray:
+        return self._raw[:self._n]
+
+    def add_batch(self, words: np.ndarray) -> np.ndarray:
+        """Add (M,) uint64 leaf clusters, return (M,) uint32 addresses
+        (LeafClusterLevel::add, levels.hpp:123-139)."""
+        words = np.ascontiguousarray(words, np.uint64)
+        if words.shape[0] == 0:
+            return np.zeros(0, np.uint32)
+        uniq, inverse = np.unique(words, return_inverse=True)
+        addrs = np.zeros(uniq.shape[0], np.uint32)
+        if self._n + uniq.shape[0] > self._raw.shape[0]:
+            cap = max(self._n + uniq.shape[0], 2 * self._raw.shape[0])
+            new = np.zeros(cap, np.uint64)
+            new[:self._n] = self._raw[:self._n]
+            self._raw = new
+        new_n = 0
+        for i in range(uniq.shape[0]):
+            key = int(uniq[i])
+            addr = self._index.get(key)
+            if addr is None:
+                addr = self._n
+                self._raw[addr] = uniq[i]
+                self._n = addr + 1
+                self._index[key] = addr
+                new_n += 1
+            addrs[i] = addr
+        self.uniques_n += new_n
+        self.dupes_n += words.shape[0] - new_n
+        return addrs[inverse]
+
+    def get(self, addrs: np.ndarray) -> np.ndarray:
+        return self.raw[addrs]
+
+
+class NodeLevels:
+    """20 node levels + 1 leaf-cluster level (levels.hpp:194-199)."""
+
+    def __init__(self):
+        self.nodes = [NodeLevel() for _ in range(MAX_DEPTH)]
+        self.leaf_clusters = LeafClusterLevel()
+
+    def stats(self) -> dict:
+        per_level = [
+            {"depth": d, "uniques": lv.uniques_n, "dupes": lv.dupes_n,
+             "pool_u32": int(lv.raw.shape[0])}
+            for d, lv in enumerate(self.nodes)
+        ]
+        lc = self.leaf_clusters
+        return {
+            "node_levels": per_level,
+            "leaf_clusters": {"uniques": lc.uniques_n, "dupes": lc.dupes_n},
+        }
+
+    # ------------------------------------------------------------------
+    def walk_leaf_clusters(self, root_addr: int):
+        """Enumerate all leaf clusters under ``root_addr``.
+
+        Vectorized level-frontier expansion replacing the reference's
+        explicit-stack DFS (lvr2.cpp:24-66 and the unfinished iterator at
+        tsdf.cpp:88-159).  Returns (cluster_codes uint64 (60-bit),
+        cluster_words uint64) sorted by code.
+        """
+        addrs = np.array([root_addr], np.uint32)
+        codes = np.zeros(1, np.uint64)
+        for depth in range(MAX_DEPTH):
+            kids = self.nodes[depth].child_addrs(addrs)     # (M, 8)
+            present = kids != 0
+            child_codes = (codes[:, None] << np.uint64(3)) | \
+                np.arange(8, dtype=np.uint64)[None, :]
+            addrs = kids[present]
+            codes = child_codes[present]
+            if addrs.size == 0:
+                return (np.zeros(0, np.uint64), np.zeros(0, np.uint64))
+        order = np.argsort(codes, kind="stable")
+        return codes[order], self.leaf_clusters.get(addrs[order])

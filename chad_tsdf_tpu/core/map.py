@@ -1,0 +1,271 @@
+"""TSDFMap — the public API.
+
+Mirrors the reference's single entry class ``chad::TSDFMap`` (reference:
+include/chad/tsdf.hpp:21-171, src/chad/tsdf.cpp:26-86):
+
+* ``insert(points, position)``: submap-rotation check (>5 m travel =>
+  finalize + fresh active map, tsdf.cpp:46-61), then the Morton -> sort ->
+  normals -> DDA integrate pipeline — here one fused jit per chunk
+  (core/integrate.py).
+* ``save(filename)``: finalize the active submap and extract a marching-
+  cubes mesh to PLY (tsdf.cpp:76-86).  Unlike the reference — which meshes
+  only ``_submaps.front()`` (tsdf.cpp:85) and double-pushes the active
+  submap when save() is called twice (known defects per SURVEY §7) — save()
+  meshes the union of all submaps by default (``mesh_first_submap_only``
+  restores parity) and is idempotent: the active snapshot is cached until
+  the next insert invalidates it.
+
+Also provided beyond the reference's built surface (its TODO list at
+tsdf.hpp:158-161): ``leaf_items()`` iteration, ``raycast()``, ``merge()``,
+and checkpointing (see chad_tsdf_tpu.io.checkpoint).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..config import MapConfig
+from ..mesh import grid as grid_io
+from ..mesh import marching_cubes, write_ply
+from ..ops import codec, morton
+from . import dag, integrate, submap as submap_mod
+from .state import create_state, origin_blocks_for_position
+
+
+class TSDFMap:
+    def __init__(self, sdf_res: float = 0.05, sdf_trunc: float = 0.1,
+                 config: MapConfig | None = None):
+        if config is None:
+            config = MapConfig(sdf_res=sdf_res, sdf_trunc=sdf_trunc)
+        elif (sdf_res, sdf_trunc) != (config.sdf_res, config.sdf_trunc):
+            import dataclasses
+            config = dataclasses.replace(config, sdf_res=sdf_res,
+                                         sdf_trunc=sdf_trunc)
+        self.config = config
+        self.levels = dag.NodeLevels()
+        self.submaps: list[submap_mod.Submap] = []
+        self.state = None
+        self._positions: list[np.ndarray] = []
+        self._active_snapshot: submap_mod.Submap | None = None
+        self.last_metrics: dict = {}
+
+    # ------------------------------------------------------------------
+    @property
+    def sdf_res(self) -> float:
+        return self.config.sdf_res
+
+    @property
+    def sdf_trunc(self) -> float:
+        return self.config.sdf_trunc
+
+    # ------------------------------------------------------------------
+    def insert(self, points, position) -> dict:
+        """Integrate one point cloud scanned from ``position``.
+
+        points: array-like (N, 3) float; position: (3,) float.
+        Returns the per-insert metrics dict.
+        """
+        t0 = time.perf_counter()
+        points = np.ascontiguousarray(np.asarray(points, np.float32))
+        if points.ndim != 2 or points.shape[1] != 3:
+            raise ValueError("points must be (N, 3)")
+        position = np.asarray(position, np.float32).reshape(3)
+
+        # submap rotation policy (tsdf.cpp:46-61)
+        if self.state is None:
+            self._start_submap(position)
+        elif self._positions and np.linalg.norm(
+                position - self._positions[0]) > self.config.submap_distance:
+            self._finalize_active()
+            self._start_submap(position)
+        self._positions.append(position.copy())
+        self._active_snapshot = None
+
+        cap = self.config.max_points
+        metrics_acc: dict = {}
+        for beg in range(0, max(len(points), 1), cap):
+            chunk = points[beg:beg + cap]
+            n = chunk.shape[0]
+            if n < cap:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((cap - n, 3), np.float32)])
+            self.state, metrics = integrate.insert_step(
+                self.state, chunk, np.int32(n), position, self.config)
+            for k, v in metrics.items():
+                metrics_acc[k] = metrics_acc.get(k, 0) + int(v)
+        if self.config.profile:
+            jax.block_until_ready(self.state.pool)
+            metrics_acc["wall_ms"] = (time.perf_counter() - t0) * 1e3
+            print(f"insert   {metrics_acc.get('wall_ms', 0):8.2f} ms  "
+                  f"samples={metrics_acc['n_valid_samples']} "
+                  f"blocks={metrics_acc['n_blocks']}")
+        self.last_metrics = metrics_acc
+        return metrics_acc
+
+    def _start_submap(self, position: np.ndarray) -> None:
+        origin = origin_blocks_for_position(position, self.config)
+        self.state = create_state(self.config, origin)
+        self._positions = []
+
+    def _finalize_active(self) -> None:
+        sm = submap_mod.finalize(self.state, self.levels, self.config,
+                                 self._positions)
+        self.submaps.append(sm)
+
+    # ------------------------------------------------------------------
+    def _all_submaps(self) -> list[submap_mod.Submap]:
+        """Finalized submaps plus a cached snapshot of the active one."""
+        out = list(self.submaps)
+        if self.state is not None and int(self.state.n_blocks) > 0:
+            if self._active_snapshot is None:
+                self._active_snapshot = submap_mod.finalize(
+                    self.state, self.levels, self.config, self._positions)
+            out.append(self._active_snapshot)
+        return out
+
+    def voxel_samples(self, submaps=None):
+        """All (voxel Morton code uint64, signed distance f32) samples of the
+        selected submaps' TSDF DAGs (deduplicated, later submaps win)."""
+        if submaps is None:
+            submaps = self._all_submaps()
+        all_codes, all_sd = [], []
+        for sm in submaps:
+            ccodes, words = self.levels.walk_leaf_clusters(sm.root_addr_tsdf)
+            leaves = codec.unpack_cluster_u64(np, words)      # (M, 8)
+            present = leaves != codec.EMPTY
+            vox_codes = (ccodes[:, None] << np.uint64(3)) | \
+                np.arange(8, dtype=np.uint64)[None, :]
+            sd = codec.decode_sd(np, leaves, self.config.sdf_trunc)
+            all_codes.append(vox_codes[present])
+            all_sd.append(sd[present].astype(np.float32))
+        if not all_codes:
+            return np.zeros(0, np.uint64), np.zeros(0, np.float32)
+        codes = np.concatenate(all_codes)
+        sd = np.concatenate(all_sd)
+        # dedup keeping the last occurrence (most recent submap)
+        _, idx = np.unique(codes[::-1], return_index=True)
+        keep = codes.shape[0] - 1 - idx
+        return codes[keep], sd[keep]
+
+    def extract_mesh(self):
+        submaps = self._all_submaps()
+        if self.config.mesh_first_submap_only and submaps:
+            submaps = submaps[:1]   # reference parity (tsdf.cpp:85)
+        codes, sd = self.voxel_samples(submaps)
+        return marching_cubes(codes, sd, self.config.sdf_res)
+
+    def save(self, filename: str) -> None:
+        """Reconstruct the mesh and write it to ``filename`` (tsdf.cpp:76-86).
+
+        Writes the optional .grid dump first when config.save_grid is set
+        (the reference writes "hashgrid.grid" unconditionally, lvr2.cpp:290).
+        """
+        mesh = self.extract_mesh()
+        if self.config.save_grid:
+            codes, sd = self.voxel_samples()
+            grid_io.write_grid("hashgrid.grid", codes, sd,
+                               self.config.sdf_res)
+        write_ply(filename, mesh)
+
+    def save_grid(self, filename: str) -> None:
+        codes, sd = self.voxel_samples()
+        grid_io.write_grid(filename, codes, sd, self.config.sdf_res)
+
+    # ------------------------------------------------------------------
+    def leaf_items(self, submap: submap_mod.Submap | None = None):
+        """Iterate (world voxel coord (3,) int32, signed distance, weight)
+        — the leaf-iterator API the reference sketches but never builds
+        (tsdf.hpp:120-155)."""
+        submaps = [submap] if submap is not None else self._all_submaps()
+        for sm in submaps:
+            ccodes, words_t = self.levels.walk_leaf_clusters(sm.root_addr_tsdf)
+            _, words_w = self.levels.walk_leaf_clusters(sm.root_addr_weight)
+            lt = codec.unpack_cluster_u64(np, words_t)
+            lw = codec.unpack_cluster_u64(np, words_w)
+            present = lt != codec.EMPTY
+            vox_codes = (ccodes[:, None] << np.uint64(3)) | \
+                np.arange(8, dtype=np.uint64)[None, :]
+            coords = morton.np_decode63(vox_codes[present])
+            sds = codec.decode_sd(np, lt, self.config.sdf_trunc)[present]
+            ws = lw[present]
+            for i in range(coords.shape[0]):
+                yield coords[i], float(sds[i]), int(ws[i])
+
+    def raycast(self, origin, direction, max_dist: float = 100.0):
+        """March a ray through the map; returns the first zero-crossing hit
+        position or None — the reference's declared-but-unbuilt raycast
+        (tsdf.hpp:158-161)."""
+        codes, sd = self.voxel_samples()
+        if codes.shape[0] == 0:
+            return None
+        order = np.argsort(codes)
+        codes, sd = codes[order], sd[order]
+        origin = np.asarray(origin, np.float64)
+        direction = np.asarray(direction, np.float64)
+        direction = direction / np.linalg.norm(direction)
+        step = self.config.sdf_res * 0.5
+        t = np.arange(0.0, max_dist, step)
+        pts = origin[None, :] + t[:, None] * direction[None, :]
+        vox = np.floor(pts / self.config.sdf_res).astype(np.int32)
+        qc = morton.np_encode63(vox)
+        pos = np.minimum(np.searchsorted(codes, qc), codes.shape[0] - 1)
+        hitm = codes[pos] == qc
+        vals = np.where(hitm, sd[pos], np.nan)
+        sign = vals < 0
+        crossings = np.nonzero(hitm[:-1] & hitm[1:] & ~sign[:-1] & sign[1:])[0]
+        if crossings.size == 0:
+            return None
+        i = crossings[0]
+        a, b = vals[i], vals[i + 1]
+        frac = a / (a - b) if a != b else 0.5
+        return origin + (t[i] + frac * step) * direction
+
+    def merge(self, other: "TSDFMap") -> None:
+        """Merge another map's finalized submaps into this one — the
+        reference's declared-but-unbuilt map merging (tsdf.hpp:161).
+        DAG contents are re-consed into this map's levels."""
+        for sm in other._all_submaps():
+            codes, words_t = other.levels.walk_leaf_clusters(sm.root_addr_tsdf)
+            _, words_w = other.levels.walk_leaf_clusters(sm.root_addr_weight)
+            new_sm = _rebuild_submap(self.levels, codes, words_t, words_w,
+                                     sm.positions)
+            self.submaps.append(new_sm)
+
+    def stats(self) -> dict:
+        s = self.levels.stats()
+        s["n_submaps"] = len(self.submaps)
+        if self.state is not None:
+            s["active_blocks"] = int(self.state.n_blocks)
+            s["overflow"] = {
+                "points": int(self.state.point_overflow),
+                "samples": int(self.state.sample_overflow),
+                "blocks": int(self.state.block_overflow),
+                "touched": int(self.state.touched_overflow),
+            }
+        return s
+
+
+def _rebuild_submap(levels: dag.NodeLevels, codes, words_t, words_w,
+                    positions) -> submap_mod.Submap:
+    if codes.shape[0] == 0:
+        root = submap_mod._add_empty_chain(levels)
+        return submap_mod.Submap(root, root, list(positions))
+    addr_t = levels.leaf_clusters.add_batch(words_t)
+    addr_w = levels.leaf_clusters.add_batch(words_w)
+    for depth in range(dag.MAX_DEPTH - 1, -1, -1):
+        parent = codes >> np.uint64(3)
+        child_i = (codes & np.uint64(7)).astype(np.int64)
+        startsb = np.concatenate([[True], parent[1:] != parent[:-1]])
+        group = np.cumsum(startsb) - 1
+        g = int(group[-1]) + 1 if group.size else 0
+        kids_t = np.zeros((g, 8), np.uint32)
+        kids_w = np.zeros((g, 8), np.uint32)
+        kids_t[group, child_i] = addr_t
+        kids_w[group, child_i] = addr_w
+        addr_t = levels.nodes[depth].add_batch(kids_t)
+        addr_w = levels.nodes[depth].add_batch(kids_w)
+        codes = parent[startsb]
+    return submap_mod.Submap(int(addr_t[0]), int(addr_w[0]), list(positions))

@@ -1,0 +1,127 @@
+"""Submap finalization: active block pool -> compressed dual DAG.
+
+Replaces the reference's iterative post-order DFS over the active octree
+(reference: include/chad/detail/submap.hpp:10-106) with a bottom-up
+sort-group pipeline (SURVEY §7):
+
+* device: per-voxel mean = sd_sum / weight (the reference's incremental
+  weighted mean, octree.hpp:161-163, evaluated once), 8-bit quantization
+  (cluster.hpp codec), dense (block, 64 clusters, 8 leaves) packing — all a
+  reshape because the pool's intra-block offsets ARE the Morton order.
+* host: world Morton codes per non-empty cluster, then 20 rounds of
+  group-by-parent-prefix + hash-consed NodeLevel adds, producing the two
+  parallel DAGs (TSDF + weight) exactly like submap.hpp:31-60.
+
+Reference defect NOT replicated: the weight clamp uses min (intended), not
+the always-255 ``std::max`` at submap.hpp:92-93.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MapConfig
+from ..ops import codec, morton
+from .dag import MAX_DEPTH, NodeLevels
+from .state import ActiveMapState
+
+
+@dataclasses.dataclass
+class Submap:
+    """Finalized submap: two DAG roots + trajectory (submap.hpp:108-110)."""
+    root_addr_tsdf: int
+    root_addr_weight: int
+    positions: list
+    n_clusters: int = 0
+    n_voxels: int = 0
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "sdf_trunc"))
+def _extract_blocks(state: ActiveMapState, n_pad: int, sdf_trunc: float):
+    """Device-side finalize prep: gather allocated blocks in key order and
+    quantize.  Returns (keys i32[n_pad], tsdf u8[n_pad,64,8],
+    weight u8[n_pad,64,8], nonempty bool[n_pad,64])."""
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    valid = idx < state.n_blocks
+    idx_c = jnp.minimum(idx, jnp.maximum(state.n_blocks - 1, 0))
+    keys = jnp.where(valid, state.dir_keys[idx_c], jnp.int32(2**31 - 1))
+    blocks = state.pool[state.dir_slots[idx_c]]          # (n_pad, 512, 2)
+    sd_sum, w = blocks[..., 0], blocks[..., 1]
+    occupied = w > 0
+    mean = sd_sum / jnp.maximum(w, 1.0)
+    q_sd = jnp.where(occupied, codec.encode_sd(jnp, mean, sdf_trunc),
+                     jnp.uint8(codec.EMPTY))
+    q_w = jnp.where(occupied, codec.encode_weight(jnp, w),
+                    jnp.uint8(codec.EMPTY))
+    q_sd = jnp.where(valid[:, None], q_sd, jnp.uint8(codec.EMPTY))
+    q_w = jnp.where(valid[:, None], q_w, jnp.uint8(codec.EMPTY))
+    q_sd = q_sd.reshape(n_pad, 64, 8)
+    q_w = q_w.reshape(n_pad, 64, 8)
+    nonempty = jnp.any((occupied & valid[:, None]).reshape(n_pad, 64, 8), -1)
+    return keys, q_sd, q_w, nonempty
+
+
+def finalize(state: ActiveMapState, levels: NodeLevels, config: MapConfig,
+             positions: list) -> Submap:
+    """Finalize the active map into a Submap, hash-consing into ``levels``."""
+    n_blocks = int(state.n_blocks)
+    if n_blocks == 0:
+        # empty map: register an empty root chain so the submap is walkable
+        root_t = root_w = _add_empty_chain(levels)
+        return Submap(int(root_t), int(root_w), list(positions), 0, 0)
+
+    n_pad = max(1, 1 << (n_blocks - 1).bit_length())
+    keys, q_sd, q_w, nonempty = jax.tree.map(
+        np.asarray, _extract_blocks(state, n_pad, config.sdf_trunc))
+    keys = keys[:n_blocks]
+    q_sd, q_w, nonempty = q_sd[:n_blocks], q_w[:n_blocks], nonempty[:n_blocks]
+
+    # world 54-bit block codes -> 60-bit cluster codes
+    origin = np.asarray(state.origin_blocks)
+    wb = morton.np_block_key_to_world63(keys, origin, config.block_bits)
+    cluster_codes = (wb[:, None] << np.uint64(6)) | \
+        np.arange(64, dtype=np.uint64)[None, :]
+
+    sel = nonempty.reshape(-1)
+    codes = cluster_codes.reshape(-1)[sel]
+    words_t = codec.pack_cluster_u64(np, q_sd.reshape(-1, 8)[sel])
+    words_w = codec.pack_cluster_u64(np, q_w.reshape(-1, 8)[sel])
+    n_vox = int((q_sd.reshape(-1, 8)[sel] != codec.EMPTY).sum())
+
+    order = np.argsort(codes, kind="stable")
+    codes, words_t, words_w = codes[order], words_t[order], words_w[order]
+
+    # ---- bottom-up dual-DAG build (submap.hpp:31-60, sort-group form) ----
+    addr_t = levels.leaf_clusters.add_batch(words_t)
+    addr_w = levels.leaf_clusters.add_batch(words_w)
+    for depth in range(MAX_DEPTH - 1, -1, -1):
+        parent = codes >> np.uint64(3)
+        child_i = (codes & np.uint64(7)).astype(np.int64)
+        starts = np.concatenate([[True], parent[1:] != parent[:-1]])
+        group = np.cumsum(starts) - 1
+        g = int(group[-1]) + 1 if group.size else 0
+        kids_t = np.zeros((g, 8), np.uint32)
+        kids_w = np.zeros((g, 8), np.uint32)
+        kids_t[group, child_i] = addr_t
+        kids_w[group, child_i] = addr_w
+        addr_t = levels.nodes[depth].add_batch(kids_t)
+        addr_w = levels.nodes[depth].add_batch(kids_w)
+        codes = parent[starts]
+    assert codes.size == 1 and int(codes[0]) == 0
+    return Submap(int(addr_t[0]), int(addr_w[0]), list(positions),
+                  n_clusters=int(sel.sum()), n_voxels=n_vox)
+
+
+def _add_empty_chain(levels: NodeLevels) -> int:
+    addr = levels.leaf_clusters.add_batch(
+        np.array([0xFFFFFFFFFFFFFFFF], np.uint64))
+    for depth in range(MAX_DEPTH - 1, -1, -1):
+        kids = np.zeros((1, 8), np.uint32)
+        kids[0, 0] = addr[0]
+        addr = levels.nodes[depth].add_batch(kids)
+    return int(addr[0])

@@ -85,9 +85,10 @@ def _accum_kernel(starts_ref, lens_ref, slots_ref,  # scalar prefetch (SMEM)
     pool_out_ref[...] = pool_in_ref[...] + acc_ref[...][None]
 
 
-@functools.partial(jax.jit, static_argnames=("touched_capacity",))
+@functools.partial(jax.jit,
+                   static_argnames=("touched_capacity", "interpret"))
 def accumulate_pallas(pool, starts, lens, slots, offsets, sd,
-                      touched_capacity: int):
+                      touched_capacity: int, interpret: bool = False):
     """TPU path: per-touched-block MXU accumulation.
 
     pool: f32[Cb, 512, 2]; starts/lens/slots: i32[T]; offsets: i32[S+pad];
@@ -99,8 +100,8 @@ def accumulate_pallas(pool, starts, lens, slots, offsets, sd,
         num_scalar_prefetch=3,
         grid=(t_cap,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # offsets
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sd
+            pl.BlockSpec(memory_space=pl.ANY),  # offsets
+            pl.BlockSpec(memory_space=pl.ANY),  # sd
             pl.BlockSpec((1, 512, 2), lambda t, st, ln, sl: (sl[t], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 512, 2), lambda t, st, ln, sl: (sl[t], 0, 0)),
@@ -117,4 +118,5 @@ def accumulate_pallas(pool, starts, lens, slots, offsets, sd,
         out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
         input_output_aliases={5: 0},  # pool input (after 3 scalars + 2 hbm)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(starts, lens, slots, offsets, sd, pool)

@@ -1,0 +1,199 @@
+"""Integration-step tests against the analytic sphere oracle (SURVEY §4:
+for points on a radius-5 sphere scanned from the centre, the true signed
+distance at voxel v is ``5 - |v|`` in the map's convention — positive toward
+the scanner, negative behind the surface)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chad_tsdf_tpu.config import MapConfig
+from chad_tsdf_tpu.core import integrate
+from chad_tsdf_tpu.core.state import create_state, origin_blocks_for_position
+
+CFG = MapConfig(max_points=4096, block_capacity=4096, touched_capacity=4096,
+                accumulate_impl="xla")
+
+
+def sphere_points(n, r=5.0, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (d * r).astype(np.float32)
+
+
+def run_insert(cfg, pts, pos, state=None):
+    if state is None:
+        state = create_state(cfg, origin_blocks_for_position(pos, cfg))
+    n = pts.shape[0]
+    pad = np.zeros((cfg.max_points, 3), np.float32)
+    pad[:n] = pts
+    return integrate.insert_step(state, jnp.asarray(pad), jnp.int32(n),
+                                 jnp.asarray(pos, jnp.float32), cfg)
+
+
+def pool_voxels(state, cfg):
+    """Extract (world voxel coords, mean sd, weight) from the pool."""
+    from chad_tsdf_tpu.ops import morton
+    nb = int(state.n_blocks)
+    keys = np.asarray(state.dir_keys)[:nb]
+    slots = np.asarray(state.dir_slots)[:nb]
+    pool = np.asarray(state.pool)
+    blocks = pool[slots]
+    w = blocks[..., 1]
+    sd = blocks[..., 0] / np.maximum(w, 1)
+    bx, by, bz = (np.asarray(morton.decode_block(jnp.asarray(keys))[i])
+                  for i in range(3))
+    origin = np.asarray(state.origin_blocks)
+    out = []
+    offs = np.arange(512)
+    ox = np.asarray(morton.decode_offset(jnp.asarray(offs))[0])
+    oy = np.asarray(morton.decode_offset(jnp.asarray(offs))[1])
+    oz = np.asarray(morton.decode_offset(jnp.asarray(offs))[2])
+    coords = np.stack([
+        (bx[:, None] + origin[0]) * 8 + ox[None, :],
+        (by[:, None] + origin[1]) * 8 + oy[None, :],
+        (bz[:, None] + origin[2]) * 8 + oz[None, :],
+    ], axis=-1)
+    occ = w > 0
+    return coords[occ], sd[occ], w[occ]
+
+
+def test_sphere_oracle():
+    pts = sphere_points(4096)
+    pos = np.zeros(3, np.float32)
+    state, metrics = run_insert(CFG, pts, pos)
+    assert int(metrics["n_valid_samples"]) > 4096 * 4
+    coords, sd, w = pool_voxels(state, CFG)
+    assert coords.shape[0] > 1000
+    r = np.linalg.norm(coords * CFG.sdf_res, axis=1)
+    want = np.clip(5.0 - r, -CFG.sdf_trunc, CFG.sdf_trunc)
+    err = np.abs(sd - want)
+    assert np.median(err) < 0.01
+    assert np.percentile(err, 95) < 0.05
+
+
+def test_no_overflow_counters():
+    pts = sphere_points(4096)
+    state, _ = run_insert(CFG, pts, np.zeros(3, np.float32))
+    assert int(state.point_overflow) == 0
+    assert int(state.sample_overflow) == 0
+    assert int(state.block_overflow) == 0
+    assert int(state.touched_overflow) == 0
+
+
+def test_accumulation_matches_bruteforce():
+    """Pool contents must equal a scalar DDA + dict accumulation oracle."""
+    from chad_tsdf_tpu.ops import dda as dda_mod
+    from tests.test_dda import scalar_dda
+
+    cfg = MapConfig(max_points=128, block_capacity=1024, touched_capacity=1024,
+                    accumulate_impl="xla")
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    pos = np.array([0.0, 0.0, 3.0], np.float32)
+    state, _ = run_insert(cfg, pts, pos)
+    coords, sd, w = pool_voxels(state, cfg)
+    got = {tuple(c): (s, ww) for c, s, ww in zip(coords, sd, w)}
+
+    # oracle: same normals as the pipeline (read them via the same path)
+    import jax.numpy as jnp
+    from chad_tsdf_tpu.ops import morton, normals
+    local, _ = morton.points_to_local_voxels(
+        jnp.asarray(pts), jnp.asarray(state.origin_blocks) * 8,
+        cfg.blocks_per_axis * 8, cfg.sdf_res)
+    bk = morton.encode_block(local[:, 0] >> 3, local[:, 1] >> 3, local[:, 2] >> 3)
+    ok = morton.encode_offset(local[:, 0] & 7, local[:, 1] & 7, local[:, 2] & 7)
+    import jax.lax as lax
+    sb, so, perm = lax.sort((bk, ok, jnp.arange(100, dtype=jnp.int32)),
+                            num_keys=2)
+    pts_s = np.asarray(jnp.asarray(pts)[perm])
+    nrm = np.asarray(normals.estimate_normals(
+        jnp.asarray(pts_s), sb, so, jnp.ones(100, bool), jnp.asarray(pos)))
+
+    acc: dict = {}
+    for i in range(100):
+        for v in scalar_dda(pts_s[i], pos, cfg.sdf_res, cfg.sdf_trunc):
+            vpos = np.array(v, np.float64) * cfg.sdf_res
+            s = float(np.dot(nrm[i], vpos - pts_s[i]))
+            s = np.clip(s, -cfg.sdf_trunc, cfg.sdf_trunc)
+            ssum, cnt = acc.get(v, (0.0, 0))
+            acc[v] = (ssum + s, cnt + 1)
+
+    assert set(got) == set(acc)
+    for v, (ssum, cnt) in acc.items():
+        s_got, w_got = got[v]
+        assert w_got == cnt
+        np.testing.assert_allclose(s_got, ssum / cnt, atol=1e-4)
+
+
+def test_incremental_matches_batch():
+    """Two inserts must accumulate like the sum of both (associativity)."""
+    pts = sphere_points(2048, seed=5)
+    pos = np.zeros(3, np.float32)
+    state, _ = run_insert(CFG, pts[:1024], pos)
+    state, _ = run_insert(CFG, pts[1024:], pos, state=state)
+    c2, sd2, w2 = pool_voxels(state, CFG)
+
+    state_b, _ = run_insert(CFG, pts, pos)
+    cb, sdb, wb = pool_voxels(state_b, CFG)
+    a = {tuple(c): (s, ww) for c, s, ww in zip(c2, sd2, w2)}
+    b = {tuple(c): (s, ww) for c, s, ww in zip(cb, sdb, wb)}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][1] == b[k][1]
+        np.testing.assert_allclose(a[k][0], b[k][0], atol=1e-4)
+
+
+def test_determinism():
+    pts = sphere_points(2048, seed=6)
+    pos = np.zeros(3, np.float32)
+    s1, _ = run_insert(CFG, pts, pos)
+    s2, _ = run_insert(CFG, pts, pos)
+    np.testing.assert_array_equal(np.asarray(s1.pool), np.asarray(s2.pool))
+    np.testing.assert_array_equal(np.asarray(s1.dir_keys),
+                                  np.asarray(s2.dir_keys))
+
+
+def test_pallas_interpret_matches_xla():
+    """Differential test: the Pallas accumulate kernel (interpret mode on
+    CPU) must produce bit-identical pools to the XLA scatter path."""
+    from chad_tsdf_tpu.ops import accumulate as acc_mod
+    import jax.experimental.pallas as pl  # noqa: F401
+
+    rng = np.random.default_rng(9)
+    cb, t_cap, s_n = 64, 32, 4096
+    pool = jnp.zeros((cb, 512, 2), jnp.float32)
+    # build sorted-by-block synthetic samples over 20 blocks
+    blocks = np.sort(rng.integers(0, 30, s_n))  # < t_cap distinct blocks
+    offs = rng.integers(0, 512, s_n)
+    sd = rng.normal(size=s_n).astype(np.float32)
+    starts_np, lens_np, slots_np, keys = [], [], [], []
+    uniq = np.unique(blocks)
+    for i, b in enumerate(uniq[:t_cap]):
+        m = np.nonzero(blocks == b)[0]
+        starts_np.append(m[0])
+        lens_np.append(len(m))
+        slots_np.append(i)
+    pad_t = t_cap - len(starts_np)
+    starts = jnp.asarray(starts_np + [0] * pad_t, jnp.int32)
+    lens = jnp.asarray(lens_np + [0] * pad_t, jnp.int32)
+    slots = jnp.asarray(slots_np + [cb - 1] * pad_t, jnp.int32)
+
+    slot_per_sample = np.zeros(s_n, np.int32)
+    for i, b in enumerate(uniq[:t_cap]):
+        slot_per_sample[blocks == b] = i
+    ref = acc_mod.accumulate_xla(pool, jnp.asarray(slot_per_sample),
+                                 jnp.asarray(offs, jnp.int32),
+                                 jnp.asarray(sd), jnp.ones(s_n, bool))
+
+    got = acc_mod.accumulate_pallas(
+        pool, starts, lens, slots,
+        jnp.concatenate([jnp.asarray(offs, jnp.int32),
+                         jnp.zeros(acc_mod.CHUNK, jnp.int32)]),
+        jnp.concatenate([jnp.asarray(sd),
+                         jnp.zeros(acc_mod.CHUNK, jnp.float32)]),
+        touched_capacity=t_cap, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

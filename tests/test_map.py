@@ -1,0 +1,138 @@
+"""End-to-end TSDFMap tests — the reference's sphere demo as a test
+(reference: src/chad/main.cpp:7-39) plus API behaviours."""
+
+import numpy as np
+import pytest
+
+from chad_tsdf_tpu import MapConfig, TSDFMap
+
+SMALL = dict(max_points=4096, block_capacity=8192, touched_capacity=8192,
+             accumulate_impl="xla")
+
+
+def sphere_points(n, r=5.0, seed=420, centre=(0, 0, 0)):
+    rng = np.random.default_rng(seed)
+    d = rng.uniform(-1, 1, (n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (d * r + np.asarray(centre)).astype(np.float32)
+
+
+def test_sphere_end_to_end(tmp_path):
+    cfg = MapConfig(**SMALL)
+    m = TSDFMap(config=cfg)
+    # r=1 keeps the 4k-point cloud dense relative to the voxel size; the
+    # full-scale demo (1M points, r=5, examples/demo_sphere.py) is the
+    # reference workload (main.cpp:8-38)
+    pts = sphere_points(4096, r=1.0)
+    m.insert(pts, np.zeros(3))
+    assert int(m.state.n_blocks) > 0
+
+    mesh = m.extract_mesh()
+    assert mesh.n_vertices > 1000
+    radii = np.linalg.norm(mesh.vertices, axis=1)
+    assert np.abs(radii - 1.0).max() < 2 * cfg.sdf_res
+    assert np.sqrt(((radii - 1.0) ** 2).mean()) < 0.02
+
+    out = str(tmp_path / "mesh.ply")
+    m.save(out)
+    from chad_tsdf_tpu.mesh import read_ply
+    back = read_ply(out)
+    assert back.n_vertices == mesh.n_vertices
+    assert back.n_faces == mesh.n_faces
+
+
+def test_save_idempotent(tmp_path):
+    """save() twice must not duplicate submaps (the reference double-pushes,
+    tsdf.cpp:77-81 — a defect we do not replicate)."""
+    m = TSDFMap(config=MapConfig(**SMALL))
+    m.insert(sphere_points(1024), np.zeros(3))
+    m.save(str(tmp_path / "a.ply"))
+    n_sub = len(m.submaps)
+    stats1 = m.levels.stats()
+    m.save(str(tmp_path / "b.ply"))
+    assert len(m.submaps) == n_sub
+    assert m.levels.stats() == stats1
+    a = (tmp_path / "a.ply").read_bytes()
+    b = (tmp_path / "b.ply").read_bytes()
+    assert a == b
+
+
+def test_submap_rotation():
+    cfg = MapConfig(**SMALL)
+    m = TSDFMap(config=cfg)
+    m.insert(sphere_points(512, centre=(0, 0, 0)), np.zeros(3))
+    assert len(m.submaps) == 0
+    # move beyond the 5 m rotation distance (tsdf.cpp:52)
+    m.insert(sphere_points(512, centre=(6, 0, 0)), np.array([6.0, 0, 0]))
+    assert len(m.submaps) == 1
+    assert int(m.state.n_blocks) > 0          # fresh active map
+    # both submaps' content reachable for meshing
+    codes, sd = m.voxel_samples()
+    assert codes.shape[0] > 0
+
+
+def test_insert_after_save_continues():
+    m = TSDFMap(config=MapConfig(**SMALL))
+    m.insert(sphere_points(512), np.zeros(3))
+    c1, _ = m.voxel_samples()
+    m.extract_mesh()
+    m.insert(sphere_points(512, seed=7), np.zeros(3))
+    c2, _ = m.voxel_samples()
+    assert c2.shape[0] >= c1.shape[0]
+
+
+def test_dedup_across_identical_submaps():
+    """Compression oracle: same geometry in two submaps shares DAG nodes."""
+    cfg = MapConfig(**SMALL)
+    m = TSDFMap(config=cfg)
+    pts = sphere_points(1024)
+    m.insert(pts, np.zeros(3))
+    m._finalize_active()
+    u_first = [lv.uniques_n for lv in m.levels.nodes]
+    m._start_submap(np.zeros(3, np.float32))
+    m.insert(pts, np.zeros(3))
+    m._finalize_active()
+    u_second = [lv.uniques_n for lv in m.levels.nodes]
+    # identical content: no new unique nodes anywhere
+    assert u_first == u_second
+    assert m.submaps[0].root_addr_tsdf == m.submaps[1].root_addr_tsdf
+
+
+def test_raycast_hits_sphere():
+    m = TSDFMap(config=MapConfig(**SMALL))
+    pts = sphere_points(4096, r=1.0)
+    m.insert(pts, np.zeros(3))
+    # aim at an actually-scanned point so the band is sampled along the ray
+    hit = m.raycast(np.zeros(3), pts[0] / np.linalg.norm(pts[0]),
+                    max_dist=8.0)
+    assert hit is not None
+    assert abs(np.linalg.norm(hit) - 1.0) < 0.1
+
+
+def test_merge_maps():
+    m1 = TSDFMap(config=MapConfig(**SMALL))
+    m1.insert(sphere_points(1024), np.zeros(3))
+    m2 = TSDFMap(config=MapConfig(**SMALL))
+    m2.insert(sphere_points(1024, centre=(0.5, 0, 0), seed=9),
+              np.array([0.5, 0, 0]))
+    c1 = m1.voxel_samples()[0].shape[0]
+    m1.merge(m2)
+    c_merged = m1.voxel_samples()[0].shape[0]
+    assert c_merged > c1
+    assert m1.stats()["n_submaps"] == 1
+
+
+def test_input_validation():
+    m = TSDFMap(config=MapConfig(**SMALL))
+    with pytest.raises(ValueError):
+        m.insert(np.zeros((4, 2)), np.zeros(3))
+
+
+def test_chunking_large_cloud():
+    """Clouds larger than max_points are processed in chunks."""
+    cfg = MapConfig(**SMALL)
+    m = TSDFMap(config=cfg)
+    pts = sphere_points(cfg.max_points + 1000)
+    metrics = m.insert(pts, np.zeros(3))
+    assert metrics["n_valid_samples"] > cfg.max_points * 4
+    assert int(m.state.point_overflow) == 0

@@ -1,0 +1,124 @@
+"""Mesh oracles: generated MC tables validated structurally, sphere mesh
+vertex RMSE (SURVEY §4: mesh vertices at |v| ~ r within quantization
+tolerance), watertightness, PLY round trip."""
+
+import numpy as np
+
+from chad_tsdf_tpu.mesh import marching_cubes, read_ply, write_ply
+from chad_tsdf_tpu.mesh.tables import CORNERS, EDGES, TRI_TABLE
+from chad_tsdf_tpu.ops import morton
+
+
+def test_tables_structure():
+    assert TRI_TABLE.shape == (256, 16)
+    assert (TRI_TABLE[0] == -1).all() and (TRI_TABLE[255] == -1).all()
+    for case in range(256):
+        row = TRI_TABLE[case]
+        n = (row != -1).sum()
+        assert n % 3 == 0
+        assert (row[n:] == -1).all()
+
+
+def test_tables_separate_inside_outside():
+    """Every case's patch must use exactly the sign-crossing edges."""
+    for case in range(256):
+        inside = [(case >> i) & 1 for i in range(8)]
+        crossing = {e for e, (a, b) in enumerate(EDGES)
+                    if inside[a] != inside[b]}
+        used = {int(e) for e in TRI_TABLE[case] if e >= 0}
+        assert used <= crossing
+        # every crossing edge must appear in the triangulation
+        assert crossing <= used or not crossing
+
+
+def test_face_consistency_between_neighbours():
+    """Boundary segments on a shared face must match between the two cells,
+    so meshes never crack.  Each cube-face boundary is determined by the
+    face's 4 corner signs; check all 256 cases agree with a canonical
+    per-face-pattern segment multiset."""
+    faces = {
+        "z0": [0, 1, 2, 3], "z1": [4, 5, 6, 7],
+        "y0": [0, 1, 5, 4], "y1": [3, 2, 6, 7],
+        "x0": [0, 3, 7, 4], "x1": [1, 2, 6, 5],
+    }
+    edge_on_face = {}
+    for fname, cs in faces.items():
+        s = set(cs)
+        edge_on_face[fname] = {e for e, (a, b) in enumerate(EDGES)
+                               if a in s and b in s}
+    canon: dict = {}
+    for case in range(256):
+        # boundary edges of the triangulated patch = edges used an odd
+        # number of... use: patch boundary segments = triangle edges that
+        # appear exactly once in the patch (interior edges appear twice)
+        row = [int(e) for e in TRI_TABLE[case] if e >= 0]
+        segs: dict = {}
+        for t in range(0, len(row), 3):
+            tri = row[t:t + 3]
+            for i in range(3):
+                a, b = tri[i], tri[(i + 1) % 3]
+                k = frozenset((a, b))
+                segs[k] = segs.get(k, 0) + 1
+        boundary = {k for k, v in segs.items() if v == 1}
+        for fname, cs in faces.items():
+            pat = tuple((case >> c) & 1 for c in cs)
+            onface = frozenset(k for k in boundary
+                               if set(k) <= edge_on_face[fname])
+            key = (fname, pat)
+            if key in canon:
+                assert canon[key] == onface, f"case {case} face {fname}"
+            else:
+                canon[key] = onface
+
+
+def _sphere_samples(r=2.0, res=0.05, band=0.1):
+    """Every voxel whose grid position is within ``band`` of the sphere."""
+    n = int(np.ceil((r + 2 * band) / res)) + 1
+    axis = np.arange(-n, n + 1, dtype=np.int32)
+    gx, gy, gz = np.meshgrid(axis, axis, axis, indexing="ij")
+    vox = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+    dist = np.linalg.norm(vox.astype(np.float64) * res, axis=1) - r
+    sel = np.abs(dist) <= band
+    vox, dist = vox[sel], dist[sel]
+    codes = morton.np_encode63(vox)
+    order = np.argsort(codes)
+    sd = np.clip(-dist, -band, band).astype(np.float32)
+    return codes[order], sd[order]
+
+
+def test_sphere_mesh_rmse_and_watertight():
+    r, res = 2.0, 0.05
+    codes, sd = _sphere_samples(r, res)
+    mesh = marching_cubes(codes, sd, res)
+    assert mesh.n_vertices > 10000
+    assert mesh.n_faces > 10000
+    radii = np.linalg.norm(mesh.vertices, axis=1)
+    err = np.abs(radii - r)
+    assert err.max() < res  # vertices within one voxel of the sphere
+    assert np.sqrt((err ** 2).mean()) < 0.01
+
+    # watertight where sampled: almost every edge shared by exactly 2 faces
+    f = mesh.faces
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    # boundary edges only at the shell's sampling frontier
+    assert (counts == 2).mean() > 0.95
+
+    # normals defined and outward-ish or inward-ish consistently
+    vdir = mesh.vertices / np.maximum(radii[:, None], 1e-9)
+    cos = (mesh.vertex_normals * vdir).sum(1)
+    assert (np.abs(cos) > 0.7).mean() > 0.95
+    assert (cos > 0).all() or (cos < 0).all() or np.abs(cos.mean()) > 0.9
+
+
+def test_ply_roundtrip(tmp_path):
+    codes, sd = _sphere_samples(2.0, 0.1, 0.2)
+    mesh = marching_cubes(codes, sd, 0.1)
+    p = str(tmp_path / "m.ply")
+    write_ply(p, mesh)
+    back = read_ply(p)
+    np.testing.assert_allclose(back.vertices, mesh.vertices, rtol=1e-6)
+    np.testing.assert_array_equal(back.faces, mesh.faces)
+    np.testing.assert_allclose(back.vertex_normals, mesh.vertex_normals,
+                               rtol=1e-6)
