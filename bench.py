@@ -1,0 +1,69 @@
+"""Driver benchmark: TSDF integrate throughput on the canonical workload.
+
+Measures points/s for the reference's sphere demo (1M points on a 5 m
+sphere, res 0.05 m, trunc 0.1 m — reference src/chad/main.cpp:8-38) on the
+available accelerator, amortized over repeated inserts with a single final
+device sync (the remote-TPU tunnel costs ~29 ms per round trip).
+
+Prints exactly one JSON line:
+  {"metric": "tsdf_integrate_points_per_sec", "value": N, "unit": "points/s",
+   "vs_baseline": N / 50e6}
+vs_baseline is against the driver's north-star target of 50M points/s/chip
+(BASELINE.md — the reference itself publishes no numbers).
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chad_tsdf_tpu.config import MapConfig
+    from chad_tsdf_tpu.core import integrate
+    from chad_tsdf_tpu.core.state import (create_state,
+                                          origin_blocks_for_position)
+
+    n_points = 1 << 20
+    config = MapConfig(max_points=n_points)
+
+    rng = np.random.default_rng(420)
+    d = rng.uniform(-1.0, 1.0, (n_points, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    points = jnp.asarray((d * 5.0).astype(np.float32))
+    position = jnp.zeros(3, jnp.float32)
+    n = jnp.int32(n_points)
+
+    pos_np = np.zeros(3, np.float32)
+    state = create_state(config, origin_blocks_for_position(pos_np, config))
+
+    # compile + warm up
+    state, metrics = integrate.insert_step(state, points, n, position, config)
+    jax.block_until_ready(state.pool)
+    print("warmup:", {k: int(v) for k, v in metrics.items()},
+          file=sys.stderr)
+
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, metrics = integrate.insert_step(state, points, n, position,
+                                               config)
+    jax.block_until_ready(state.pool)
+    dt = time.perf_counter() - t0
+    pts_per_sec = reps * n_points / dt
+
+    print(f"{reps} inserts in {dt*1e3:.1f} ms -> "
+          f"{pts_per_sec/1e6:.2f} M points/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "tsdf_integrate_points_per_sec",
+        "value": round(pts_per_sec),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_sec / 50e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,13 +17,21 @@ src/chad/tsdf.cpp:39-75):
 equivalent for every consumer here (segments and sums are order-free) and is
 what jax.lax.sort provides natively.  Documented deviation per SURVEY §7.
 
-Everything runs in one ``jax.jit`` with static shapes; validity masks and
-overflow counters handle the dynamic sizes.
+The pipeline is split into composable stages so the Morton-sharded SPMD path
+(chad_tsdf_tpu.parallel) can interleave its sample routing between them:
+
+  compute_samples  : points -> (block key, offset, sd) sample triples
+  sort_samples     : single-int32-key sample sort
+  update_pool      : touched-block segments + directory merge + accumulate
+
+Everything runs under ``jax.jit`` with static shapes; validity masks and
+overflow counters absorb the dynamic sizes.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,32 +41,25 @@ from ..ops import accumulate, dda, morton, normals, segops
 from .state import INT32_MAX, ActiveMapState
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def insert_step(state: ActiveMapState, points: jnp.ndarray,
-                n_points: jnp.ndarray, position: jnp.ndarray,
-                config: MapConfig):
-    """Integrate one (padded) point cloud into the active map.
+class SampleBatch(NamedTuple):
+    bkey: jnp.ndarray    # i32[S] block Morton key, INT32_MAX = invalid
+    okey: jnp.ndarray    # i32[S] 9-bit intra-block offset
+    sd: jnp.ndarray      # f32[S] clamped projective signed distance
+    pt_overflow: jnp.ndarray     # i32[] points outside the local extent
+    samp_overflow: jnp.ndarray   # i32[] samples outside the local extent
 
-    Args:
-      state: ActiveMapState.
-      points: f32[N, 3] world points, padded to config.max_points.
-      n_points: i32[] number of valid rows in ``points``.
-      position: f32[3] scanner position.
-    Returns:
-      (new_state, metrics dict).
-    """
+
+def compute_samples(points, n_points, position, origin_blocks,
+                    config: MapConfig) -> SampleBatch:
+    """Morton sort + normals + DDA: points -> flat sample triples."""
     n = points.shape[0]
     k = config.dda_steps
     res, trunc = config.sdf_res, config.sdf_trunc
     extent = config.blocks_per_axis * 8
-    cb = config.block_capacity
-    t_cap = config.touched_capacity
-    reserved_row = cb - 1          # dummy row for the Pallas kernel
-    usable_blocks = cb - 1
 
     idx = jnp.arange(n, dtype=jnp.int32)
     in_cloud = idx < n_points
-    origin_voxel = state.origin_blocks * 8
+    origin_voxel = origin_blocks * 8
 
     # ---- Morton keys + sort (tsdf.cpp:64-65) ----
     local, in_range = morton.points_to_local_voxels(points, origin_voxel,
@@ -98,10 +99,27 @@ def insert_step(state: ActiveMapState, points: jnp.ndarray,
     s_bkey = jnp.where(vvalid, s_bkey, INT32_MAX).reshape(-1)
     s_okey = jnp.where(vvalid, s_okey, 0).reshape(-1)
     s_sd = jnp.where(vvalid, sd, 0.0).reshape(-1)
+    return SampleBatch(s_bkey, s_okey, s_sd, pt_overflow, samp_overflow)
 
-    # ---- sort samples by block key (single int32 key) ----
-    s_bkey, s_okey, s_sd = jax.lax.sort((s_bkey, s_okey, s_sd), num_keys=1)
-    total = n * k
+
+def sort_samples(batch: SampleBatch) -> SampleBatch:
+    b, o, s = jax.lax.sort((batch.bkey, batch.okey, batch.sd), num_keys=1)
+    return SampleBatch(b, o, s, batch.pt_overflow, batch.samp_overflow)
+
+
+def update_pool(state: ActiveMapState, batch: SampleBatch,
+                config: MapConfig):
+    """Touched-block segmentation, directory merge, pool accumulation.
+
+    ``batch`` must be sorted by block key (sort_samples).  Returns
+    (new_state, metrics).
+    """
+    cb = config.block_capacity
+    t_cap = config.touched_capacity
+    reserved_row = cb - 1          # dummy row for the Pallas kernel
+    usable_blocks = cb - 1
+    s_bkey, s_okey, s_sd = batch.bkey, batch.okey, batch.sd
+    total = s_bkey.shape[0]
     n_valid_samples = jnp.sum(s_bkey != INT32_MAX).astype(jnp.int32)
 
     # ---- touched-block segments (compaction via rank search, no scatter) ----
@@ -144,13 +162,13 @@ def insert_step(state: ActiveMapState, points: jnp.ndarray,
     n_blocks = jnp.minimum(state.n_blocks + n_new, usable_blocks)
 
     # ---- accumulate into the pool ----
-    use_pallas = _use_pallas(config)
-    if use_pallas:
-        pad = jnp.zeros((accumulate.CHUNK,), jnp.float32)
+    if _use_pallas(config):
+        pad_i = jnp.zeros((accumulate.CHUNK,), jnp.int32)
+        pad_f = jnp.zeros((accumulate.CHUNK,), jnp.float32)
         pool = accumulate.accumulate_pallas(
             state.pool, starts_c, lens, tb_slots,
-            jnp.concatenate([s_okey, pad.astype(jnp.int32)]),
-            jnp.concatenate([s_sd, pad]),
+            jnp.concatenate([s_okey, pad_i]),
+            jnp.concatenate([s_sd, pad_f]),
             touched_capacity=t_cap)
     else:
         # per-sample slot via dense segment fill (no big searchsorted)
@@ -165,8 +183,8 @@ def insert_step(state: ActiveMapState, points: jnp.ndarray,
     new_state = ActiveMapState(
         dir_keys=dir_keys, dir_slots=dir_slots, n_blocks=n_blocks,
         pool=pool, origin_blocks=state.origin_blocks,
-        point_overflow=state.point_overflow + pt_overflow,
-        sample_overflow=state.sample_overflow + samp_overflow,
+        point_overflow=state.point_overflow + batch.pt_overflow,
+        sample_overflow=state.sample_overflow + batch.samp_overflow,
         block_overflow=state.block_overflow + block_overflow,
         touched_overflow=state.touched_overflow + touched_overflow,
     )
@@ -177,6 +195,26 @@ def insert_step(state: ActiveMapState, points: jnp.ndarray,
         "n_blocks": n_blocks,
     }
     return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def insert_step(state: ActiveMapState, points: jnp.ndarray,
+                n_points: jnp.ndarray, position: jnp.ndarray,
+                config: MapConfig):
+    """Integrate one (padded) point cloud into the active map.
+
+    Args:
+      state: ActiveMapState (donated — the pool is updated in place).
+      points: f32[N, 3] world points, padded to config.max_points.
+      n_points: i32[] number of valid rows in ``points``.
+      position: f32[3] scanner position.
+    Returns:
+      (new_state, metrics dict).
+    """
+    batch = compute_samples(points, n_points, position, state.origin_blocks,
+                            config)
+    batch = sort_samples(batch)
+    return update_pool(state, batch, config)
 
 
 def _use_pallas(config: MapConfig) -> bool:

@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 512
+# DMA window: Mosaic requires 1-D VMEM slices aligned to 1024 elements for
+# 32-bit dtypes, so blocks are streamed in aligned 1024-sample windows and
+# masked down to the block's [start, start+len) segment.
+CHUNK = 1024
 
 
 def accumulate_xla(pool, slots_per_sample, offsets, sd, valid):
@@ -54,13 +57,15 @@ def _accum_kernel(starts_ref, lens_ref, slots_ref,  # scalar prefetch (SMEM)
     t = pl.program_id(0)
     start = starts_ref[t]
     length = lens_ref[t]
+    end = start + length
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    nchunks = (length + CHUNK - 1) // CHUNK
+    first = start // CHUNK
+    nchunks = jnp.where(length > 0, (end - 1) // CHUNK - first + 1, 0)
 
     def chunk_body(c, _):
-        base = start + c * CHUNK
+        base = pl.multiple_of((first + c) * CHUNK, CHUNK)
         cp1 = pltpu.make_async_copy(off_hbm.at[pl.ds(base, CHUNK)],
                                     off_vmem, sem.at[0])
         cp2 = pltpu.make_async_copy(sd_hbm.at[pl.ds(base, CHUNK)],
@@ -69,9 +74,9 @@ def _accum_kernel(starts_ref, lens_ref, slots_ref,  # scalar prefetch (SMEM)
         cp2.start()
         cp1.wait()
         cp2.wait()
-        remain = length - c * CHUNK
-        j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        mask = (j < remain).astype(jnp.float32)            # (CHUNK, 1)
+        # global sample index of each lane in this aligned window
+        g = base + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        mask = ((g >= start) & (g < end)).astype(jnp.float32)  # (CHUNK, 1)
         off = off_vmem[...].reshape(CHUNK, 1)
         cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 512), 1)
         onehot = jnp.where(off == cols, 1.0, 0.0) * mask   # (CHUNK, 512)
