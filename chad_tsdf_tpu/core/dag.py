@@ -162,11 +162,26 @@ class LeafClusterLevel:
 
 
 class NodeLevels:
-    """20 node levels + 1 leaf-cluster level (levels.hpp:194-199)."""
+    """20 node levels + 1 leaf-cluster level (levels.hpp:194-199).
 
-    def __init__(self):
-        self.nodes = [NodeLevel() for _ in range(MAX_DEPTH)]
-        self.leaf_clusters = LeafClusterLevel()
+    Uses the C++ hash-consing backend (chad_tsdf_tpu.native) when it builds;
+    the numpy implementation above is the portable fallback and the
+    differential-testing oracle (set CHAD_TSDF_NO_NATIVE=1 to force it).
+    """
+
+    def __init__(self, use_native: bool | None = None):
+        if use_native is None:
+            from .. import native as native_mod
+            use_native = native_mod.available()
+        if use_native:
+            from .. import native as native_mod
+            self.nodes = [native_mod.NativeNodeLevel()
+                          for _ in range(MAX_DEPTH)]
+            self.leaf_clusters = native_mod.NativeLeafClusterLevel()
+        else:
+            self.nodes = [NodeLevel() for _ in range(MAX_DEPTH)]
+            self.leaf_clusters = LeafClusterLevel()
+        self.native = bool(use_native)
 
     def stats(self) -> dict:
         per_level = [

@@ -1,0 +1,75 @@
+"""Checkpoint round-trip tests (SURVEY §5.4 — no load path exists in the
+reference; here the full map state must survive save/load bit-exactly)."""
+
+import numpy as np
+
+from chad_tsdf_tpu import MapConfig, TSDFMap
+from chad_tsdf_tpu.io import load_checkpoint, save_checkpoint
+
+SMALL = dict(max_points=2048, block_capacity=4096, touched_capacity=4096,
+             accumulate_impl="xla")
+
+
+def sphere_points(n, r=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (d * r).astype(np.float32)
+
+
+def test_roundtrip_active_and_finalized(tmp_path):
+    m = TSDFMap(config=MapConfig(**SMALL))
+    m.insert(sphere_points(2048), np.zeros(3))
+    m._finalize_active()
+    m._start_submap(np.array([6.0, 0, 0], np.float32))
+    m.insert(sphere_points(1024, seed=1) + np.array([6, 0, 0], np.float32),
+             np.array([6.0, 0, 0]))
+
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, m)
+    m2 = load_checkpoint(p)
+
+    assert len(m2.submaps) == len(m.submaps)
+    assert int(m2.state.n_blocks) == int(m.state.n_blocks)
+    np.testing.assert_array_equal(np.asarray(m2.state.pool),
+                                  np.asarray(m.state.pool))
+    c1, s1 = m.voxel_samples()
+    c2, s2 = m2.voxel_samples()
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(s1, s2)
+
+    # meshes identical
+    mesh1 = m.extract_mesh()
+    mesh2 = m2.extract_mesh()
+    np.testing.assert_array_equal(mesh1.vertices, mesh2.vertices)
+    np.testing.assert_array_equal(mesh1.faces, mesh2.faces)
+
+
+def test_resume_continues_dedup(tmp_path):
+    """Hash-consing must keep working after load: identical geometry added
+    post-resume produces zero new unique nodes."""
+    m = TSDFMap(config=MapConfig(**SMALL))
+    pts = sphere_points(1024, seed=2)
+    m.insert(pts, np.zeros(3))
+    m._finalize_active()
+    p = str(tmp_path / "c.npz")
+    save_checkpoint(p, m)
+
+    m2 = load_checkpoint(p)
+    u_before = [lv.uniques_n for lv in m2.levels.nodes]
+    m2._start_submap(np.zeros(3, np.float32))
+    m2.insert(pts, np.zeros(3))
+    m2._finalize_active()
+    assert [lv.uniques_n for lv in m2.levels.nodes] == u_before
+    assert m2.submaps[0].root_addr_tsdf == m2.submaps[1].root_addr_tsdf
+
+
+def test_insert_continues_after_load(tmp_path):
+    m = TSDFMap(config=MapConfig(**SMALL))
+    m.insert(sphere_points(1024, seed=3), np.zeros(3))
+    p = str(tmp_path / "c.npz")
+    save_checkpoint(p, m)
+    m2 = load_checkpoint(p)
+    before = int(m2.state.n_blocks)
+    m2.insert(sphere_points(1024, seed=4, r=1.2), np.zeros(3))
+    assert int(m2.state.n_blocks) >= before
