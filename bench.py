@@ -42,7 +42,7 @@ def main():
 
     # compile + warm up
     state, metrics = integrate.insert_step(state, points, n, position, config)
-    jax.block_until_ready(state.pool)
+    jax.block_until_ready(state.pool_sd)
     print("warmup:", {k: int(v) for k, v in metrics.items()},
           file=sys.stderr)
 
@@ -51,7 +51,7 @@ def main():
     for _ in range(reps):
         state, metrics = integrate.insert_step(state, points, n, position,
                                                config)
-    jax.block_until_ready(state.pool)
+    jax.block_until_ready(state.pool_sd)
     dt = time.perf_counter() - t0
     pts_per_sec = reps * n_points / dt
 

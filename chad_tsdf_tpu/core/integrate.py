@@ -165,8 +165,8 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
     if _use_pallas(config):
         pad_i = jnp.zeros((accumulate.CHUNK,), jnp.int32)
         pad_f = jnp.zeros((accumulate.CHUNK,), jnp.float32)
-        pool = accumulate.accumulate_pallas(
-            state.pool, starts_c, lens, tb_slots,
+        pool_sd, pool_w = accumulate.accumulate_pallas(
+            state.pool_sd, state.pool_w, starts_c, lens, tb_slots,
             jnp.concatenate([s_okey, pad_i]),
             jnp.concatenate([s_sd, pad_f]),
             touched_capacity=t_cap)
@@ -177,12 +177,13 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
         slot_per_sample = tb_slots[t_idx_c]
         sample_ok = (s_bkey != INT32_MAX) & (t_idx < t_cap) & \
             (slot_per_sample != reserved_row)
-        pool = accumulate.accumulate_xla(state.pool, slot_per_sample,
-                                         s_okey, s_sd, sample_ok)
+        pool_sd, pool_w = accumulate.accumulate_xla(
+            state.pool_sd, state.pool_w, slot_per_sample, s_okey, s_sd,
+            sample_ok)
 
     new_state = ActiveMapState(
         dir_keys=dir_keys, dir_slots=dir_slots, n_blocks=n_blocks,
-        pool=pool, origin_blocks=state.origin_blocks,
+        pool_sd=pool_sd, pool_w=pool_w, origin_blocks=state.origin_blocks,
         point_overflow=state.point_overflow + batch.pt_overflow,
         sample_overflow=state.sample_overflow + batch.samp_overflow,
         block_overflow=state.block_overflow + block_overflow,

@@ -97,7 +97,7 @@ class TSDFMap:
             for k, v in metrics.items():
                 metrics_acc[k] = metrics_acc.get(k, 0) + int(v)
         if self.config.profile:
-            jax.block_until_ready(self.state.pool)
+            jax.block_until_ready(self.state.pool_sd)
             metrics_acc["wall_ms"] = (time.perf_counter() - t0) * 1e3
             print(f"insert   {metrics_acc.get('wall_ms', 0):8.2f} ms  "
                   f"samples={metrics_acc['n_valid_samples']} "

@@ -41,7 +41,12 @@ class ActiveMapState:
     dir_keys: jnp.ndarray      # i32[Cb] sorted local block keys, pad=INT32_MAX
     dir_slots: jnp.ndarray     # i32[Cb] pool row per directory entry
     n_blocks: jnp.ndarray      # i32[] allocated blocks
-    pool: jnp.ndarray          # f32[Cb, 512, 2] (sd_sum, weight_sum)
+    # the pool is two parallel (Cb, 512) planes, NOT one (Cb, 512, 2) array:
+    # TPU tiled layouts pad the minor dimension to 128 lanes, so a trailing
+    # dim of 2 would inflate HBM footprint 64x (observed: 64 GiB for a 1 GiB
+    # pool).
+    pool_sd: jnp.ndarray       # f32[Cb, 512] accumulated signed distance
+    pool_w: jnp.ndarray        # f32[Cb, 512] accumulated weight (count)
     origin_blocks: jnp.ndarray  # i32[3] world block coord of local (0,0,0)
     point_overflow: jnp.ndarray    # i32[] points outside the local extent
     sample_overflow: jnp.ndarray   # i32[] ray samples outside the local extent
@@ -58,7 +63,8 @@ def create_state(config: MapConfig, origin_blocks=None) -> ActiveMapState:
         dir_keys=jnp.full((cb,), INT32_MAX, jnp.int32),
         dir_slots=jnp.zeros((cb,), jnp.int32),
         n_blocks=jnp.zeros((), jnp.int32),
-        pool=jnp.zeros((cb, 512, 2), jnp.float32),
+        pool_sd=jnp.zeros((cb, 512), jnp.float32),
+        pool_w=jnp.zeros((cb, 512), jnp.float32),
         origin_blocks=jnp.asarray(origin_blocks, jnp.int32),
         point_overflow=jnp.zeros((), jnp.int32),
         sample_overflow=jnp.zeros((), jnp.int32),

@@ -50,8 +50,9 @@ def _extract_blocks(state: ActiveMapState, n_pad: int, sdf_trunc: float):
     valid = idx < state.n_blocks
     idx_c = jnp.minimum(idx, jnp.maximum(state.n_blocks - 1, 0))
     keys = jnp.where(valid, state.dir_keys[idx_c], jnp.int32(2**31 - 1))
-    blocks = state.pool[state.dir_slots[idx_c]]          # (n_pad, 512, 2)
-    sd_sum, w = blocks[..., 0], blocks[..., 1]
+    slots = state.dir_slots[idx_c]
+    sd_sum = state.pool_sd[slots]                        # (n_pad, 512)
+    w = state.pool_w[slots]
     occupied = w > 0
     mean = sd_sum / jnp.maximum(w, 1.0)
     q_sd = jnp.where(occupied, codec.encode_sd(jnp, mean, sdf_trunc),

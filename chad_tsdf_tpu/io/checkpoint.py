@@ -56,7 +56,8 @@ def save_checkpoint(path: str, m: TSDFMap) -> None:
         nb = int(m.state.n_blocks)
         arrays["active_dir_keys"] = np.asarray(m.state.dir_keys)
         arrays["active_dir_slots"] = np.asarray(m.state.dir_slots)
-        arrays["active_pool"] = np.asarray(m.state.pool)
+        arrays["active_pool_sd"] = np.asarray(m.state.pool_sd)
+        arrays["active_pool_w"] = np.asarray(m.state.pool_w)
         arrays["active_origin"] = np.asarray(m.state.origin_blocks)
         arrays["active_counters"] = np.asarray([
             nb, int(m.state.point_overflow), int(m.state.sample_overflow),
@@ -96,7 +97,8 @@ def load_checkpoint(path: str) -> TSDFMap:
             dir_keys=jnp.asarray(z["active_dir_keys"]),
             dir_slots=jnp.asarray(z["active_dir_slots"]),
             n_blocks=jnp.int32(nb),
-            pool=jnp.asarray(z["active_pool"]),
+            pool_sd=jnp.asarray(z["active_pool_sd"]),
+            pool_w=jnp.asarray(z["active_pool_w"]),
             origin_blocks=jnp.asarray(z["active_origin"]),
             point_overflow=jnp.int32(po), sample_overflow=jnp.int32(so),
             block_overflow=jnp.int32(bo), touched_overflow=jnp.int32(to),

@@ -7,10 +7,13 @@ deterministic, scatter-free device pipeline:
 * samples arrive **sorted by block key** (single int32 sort);
 * touched-block segments are described by (start, length, pool-slot) triples;
 * a Pallas kernel walks the touched blocks (grid), streams each block's
-  samples from HBM in 512-wide chunks, expands intra-block offsets through an
-  on-the-fly one-hot and reduces them on the MXU
+  samples from HBM in aligned 1024-wide windows, expands intra-block offsets
+  through an on-the-fly one-hot and reduces them on the MXU
   (``onehot(offset).T @ [sd, 1]``), then adds the 8x8x8 delta into the
-  aliased pool row selected by scalar-prefetched slot indices.
+  aliased pool rows selected by scalar-prefetched slot indices.
+
+The pool is two (Cb, 512) planes (sd-sum and weight) — see
+core/state.ActiveMapState for why not (Cb, 512, 2).
 
 Measured on TPU v5e: XLA's scatter-add runs at ~78 M samples/s, which is why
 the per-element scatter formulation is kept only as the portable fallback
@@ -33,26 +36,26 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK = 1024
 
 
-def accumulate_xla(pool, slots_per_sample, offsets, sd, valid):
+def accumulate_xla(pool_sd, pool_w, slots_per_sample, offsets, sd, valid):
     """Portable scatter-add path.
 
-    pool: f32[Cb, 512, 2]; slots_per_sample/offsets: i32[S]; sd: f32[S];
-    valid: bool[S].
+    pool_sd/pool_w: f32[Cb, 512]; slots_per_sample/offsets: i32[S];
+    sd: f32[S]; valid: bool[S].
     """
-    cb = pool.shape[0]
-    flat = pool.reshape(-1, 2)
+    cb = pool_sd.shape[0]
     idx = slots_per_sample * 512 + offsets
     idx = jnp.where(valid, idx, cb * 512)  # out-of-range -> dropped
-    upd = jnp.stack([jnp.where(valid, sd, 0.0),
-                     valid.astype(jnp.float32)], axis=-1)
-    flat = flat.at[idx].add(upd, mode="drop")
-    return flat.reshape(pool.shape)
+    new_sd = pool_sd.reshape(-1).at[idx].add(
+        jnp.where(valid, sd, 0.0), mode="drop").reshape(pool_sd.shape)
+    new_w = pool_w.reshape(-1).at[idx].add(
+        valid.astype(jnp.float32), mode="drop").reshape(pool_w.shape)
+    return new_sd, new_w
 
 
 def _accum_kernel(starts_ref, lens_ref, slots_ref,  # scalar prefetch (SMEM)
                   off_hbm, sd_hbm,                  # ANY (HBM) sample arrays
-                  pool_in_ref,                      # VMEM (1, 512, 2) aliased
-                  pool_out_ref,                     # VMEM (1, 512, 2)
+                  sd_in_ref, w_in_ref,              # VMEM (1, 512) aliased
+                  sd_out_ref, w_out_ref,            # VMEM (1, 512)
                   off_vmem, sd_vmem, acc_ref, sem):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -87,29 +90,35 @@ def _accum_kernel(starts_ref, lens_ref, slots_ref,  # scalar prefetch (SMEM)
         return 0
 
     jax.lax.fori_loop(0, nchunks, chunk_body, 0)
-    pool_out_ref[...] = pool_in_ref[...] + acc_ref[...][None]
+    sd_out_ref[...] = sd_in_ref[...] + acc_ref[:, 0][None, :]
+    w_out_ref[...] = w_in_ref[...] + acc_ref[:, 1][None, :]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("touched_capacity", "interpret"))
-def accumulate_pallas(pool, starts, lens, slots, offsets, sd,
+def accumulate_pallas(pool_sd, pool_w, starts, lens, slots, offsets, sd,
                       touched_capacity: int, interpret: bool = False):
     """TPU path: per-touched-block MXU accumulation.
 
-    pool: f32[Cb, 512, 2]; starts/lens/slots: i32[T]; offsets: i32[S+pad];
-    sd: f32[S+pad] — sample arrays must be padded by at least CHUNK so the
-    final chunk DMA of any block stays in bounds.
+    pool_sd/pool_w: f32[Cb, 512]; starts/lens/slots: i32[T];
+    offsets: i32[S+pad]; sd: f32[S+pad] — sample arrays must be padded by at
+    least CHUNK so the final aligned window stays in bounds.
     """
     t_cap = touched_capacity
+    row = lambda t, st, ln, sl: (sl[t], 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t_cap,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # offsets
             pl.BlockSpec(memory_space=pl.ANY),  # sd
-            pl.BlockSpec((1, 512, 2), lambda t, st, ln, sl: (sl[t], 0, 0)),
+            pl.BlockSpec((1, 512), row),
+            pl.BlockSpec((1, 512), row),
         ],
-        out_specs=pl.BlockSpec((1, 512, 2), lambda t, st, ln, sl: (sl[t], 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, 512), row),
+            pl.BlockSpec((1, 512), row),
+        ],
         scratch_shapes=[
             pltpu.VMEM((CHUNK,), jnp.int32),
             pltpu.VMEM((CHUNK,), jnp.float32),
@@ -120,8 +129,11 @@ def accumulate_pallas(pool, starts, lens, slots, offsets, sd,
     return pl.pallas_call(
         _accum_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(pool.shape, pool.dtype),
-        input_output_aliases={5: 0},  # pool input (after 3 scalars + 2 hbm)
+        out_shape=[
+            jax.ShapeDtypeStruct(pool_sd.shape, pool_sd.dtype),
+            jax.ShapeDtypeStruct(pool_w.shape, pool_w.dtype),
+        ],
+        input_output_aliases={5: 0, 6: 1},  # pools (after 3 scalars + 2 hbm)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(starts, lens, slots, offsets, sd, pool)
+    )(starts, lens, slots, offsets, sd, pool_sd, pool_w)

@@ -62,7 +62,7 @@ def profile_insert(state, points, n_points, position, config):
         state, metrics = jax.jit(integrate.update_pool,
                                  static_argnames=("config",))(
             state, batch, config)
-        jax.block_until_ready(state.pool)
+        jax.block_until_ready(state.pool_sd)
     report = t.report()
     n = int(n_points)
     return state, metrics, report

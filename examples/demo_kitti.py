@@ -62,7 +62,7 @@ def main():
                   f"submaps={len(m.submaps)}, "
                   f"active_blocks={int(m.state.n_blocks)}")
     import jax
-    jax.block_until_ready(m.state.pool)
+    jax.block_until_ready(m.state.pool_sd)
     dt = time.perf_counter() - t0
     print(f"total: {n} scans in {dt:.1f} s -> {n/dt:.2f} scans/s")
     print(f"stats: {m.stats()}")

@@ -46,7 +46,7 @@ def main():
     for _ in range(args.repeats):
         metrics = m.insert(points, position)
     import jax
-    jax.block_until_ready(m.state.pool)
+    jax.block_until_ready(m.state.pool_sd)
     dt = time.perf_counter() - t0
     total_pts = args.points * args.repeats
     print(f"insert: {dt*1e3:.1f} ms total, "

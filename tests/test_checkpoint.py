@@ -31,8 +31,10 @@ def test_roundtrip_active_and_finalized(tmp_path):
 
     assert len(m2.submaps) == len(m.submaps)
     assert int(m2.state.n_blocks) == int(m.state.n_blocks)
-    np.testing.assert_array_equal(np.asarray(m2.state.pool),
-                                  np.asarray(m.state.pool))
+    np.testing.assert_array_equal(np.asarray(m2.state.pool_sd),
+                                  np.asarray(m.state.pool_sd))
+    np.testing.assert_array_equal(np.asarray(m2.state.pool_w),
+                                  np.asarray(m.state.pool_w))
     c1, s1 = m.voxel_samples()
     c2, s2 = m2.voxel_samples()
     np.testing.assert_array_equal(c1, c2)

@@ -39,10 +39,8 @@ def pool_voxels(state, cfg):
     nb = int(state.n_blocks)
     keys = np.asarray(state.dir_keys)[:nb]
     slots = np.asarray(state.dir_slots)[:nb]
-    pool = np.asarray(state.pool)
-    blocks = pool[slots]
-    w = blocks[..., 1]
-    sd = blocks[..., 0] / np.maximum(w, 1)
+    w = np.asarray(state.pool_w)[slots]
+    sd = np.asarray(state.pool_sd)[slots] / np.maximum(w, 1)
     bx, by, bz = (np.asarray(morton.decode_block(jnp.asarray(keys))[i])
                   for i in range(3))
     origin = np.asarray(state.origin_blocks)
@@ -151,7 +149,8 @@ def test_determinism():
     pos = np.zeros(3, np.float32)
     s1, _ = run_insert(CFG, pts, pos)
     s2, _ = run_insert(CFG, pts, pos)
-    np.testing.assert_array_equal(np.asarray(s1.pool), np.asarray(s2.pool))
+    np.testing.assert_array_equal(np.asarray(s1.pool_sd), np.asarray(s2.pool_sd))
+    np.testing.assert_array_equal(np.asarray(s1.pool_w), np.asarray(s2.pool_w))
     np.testing.assert_array_equal(np.asarray(s1.dir_keys),
                                   np.asarray(s2.dir_keys))
 
@@ -164,7 +163,8 @@ def test_pallas_interpret_matches_xla():
 
     rng = np.random.default_rng(9)
     cb, t_cap, s_n = 64, 32, 4096
-    pool = jnp.zeros((cb, 512, 2), jnp.float32)
+    pool_sd = jnp.zeros((cb, 512), jnp.float32)
+    pool_w = jnp.zeros((cb, 512), jnp.float32)
     # build sorted-by-block synthetic samples over 20 blocks
     blocks = np.sort(rng.integers(0, 30, s_n))  # < t_cap distinct blocks
     offs = rng.integers(0, 512, s_n)
@@ -184,16 +184,18 @@ def test_pallas_interpret_matches_xla():
     slot_per_sample = np.zeros(s_n, np.int32)
     for i, b in enumerate(uniq[:t_cap]):
         slot_per_sample[blocks == b] = i
-    ref = acc_mod.accumulate_xla(pool, jnp.asarray(slot_per_sample),
-                                 jnp.asarray(offs, jnp.int32),
-                                 jnp.asarray(sd), jnp.ones(s_n, bool))
+    ref_sd, ref_w = acc_mod.accumulate_xla(
+        pool_sd, pool_w, jnp.asarray(slot_per_sample),
+        jnp.asarray(offs, jnp.int32), jnp.asarray(sd), jnp.ones(s_n, bool))
 
-    got = acc_mod.accumulate_pallas(
-        pool, starts, lens, slots,
+    got_sd, got_w = acc_mod.accumulate_pallas(
+        pool_sd, pool_w, starts, lens, slots,
         jnp.concatenate([jnp.asarray(offs, jnp.int32),
                          jnp.zeros(acc_mod.CHUNK, jnp.int32)]),
         jnp.concatenate([jnp.asarray(sd),
                          jnp.zeros(acc_mod.CHUNK, jnp.float32)]),
         touched_capacity=t_cap, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+    np.testing.assert_allclose(np.asarray(got_sd), np.asarray(ref_sd),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
                                rtol=1e-6, atol=1e-6)

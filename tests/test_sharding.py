@@ -32,7 +32,7 @@ def merged_voxel_dict(states, cfg):
         class S:  # pool_voxels expects attribute access with device arrays
             pass
         s = S()
-        for k in ("dir_keys", "dir_slots", "pool", "origin_blocks"):
+        for k in ("dir_keys", "dir_slots", "pool_sd", "pool_w", "origin_blocks"):
             setattr(s, k, np.asarray(getattr(st, k)))
         s.n_blocks = int(st.n_blocks)
         coords, sd, w = pool_voxels(s, cfg)
@@ -121,4 +121,4 @@ def test_sharded_determinism():
                  jnp.asarray(n_per), jnp.asarray(pos))
     s2, _ = step(create_sharded_state(CFG, mesh, origin), jnp.asarray(pts),
                  jnp.asarray(n_per), jnp.asarray(pos))
-    np.testing.assert_array_equal(np.asarray(s1.pool), np.asarray(s2.pool))
+    np.testing.assert_array_equal(np.asarray(s1.pool_sd), np.asarray(s2.pool_sd))
