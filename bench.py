@@ -19,6 +19,12 @@ import time
 
 def main():
     import jax
+
+    # persistent compile cache: the axon remote-compile path costs ~10 min
+    # for the full insert graph; cached re-runs start in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -49,21 +49,17 @@ class SampleBatch(NamedTuple):
     samp_overflow: jnp.ndarray   # i32[] samples outside the local extent
 
 
-def compute_samples(points, n_points, position, origin_blocks,
-                    config: MapConfig) -> SampleBatch:
-    """Morton sort + normals + DDA: points -> flat sample triples."""
-    n = points.shape[0]
-    k = config.dda_steps
-    res, trunc = config.sdf_res, config.sdf_trunc
-    extent = config.blocks_per_axis * 8
+def point_keys(points, n_points, origin_blocks, config: MapConfig):
+    """Local Morton keys per point; invalid/padded points get sentinel keys.
 
+    Returns (bkey, okey, pt_overflow)."""
+    n = points.shape[0]
+    extent = config.blocks_per_axis * 8
     idx = jnp.arange(n, dtype=jnp.int32)
     in_cloud = idx < n_points
     origin_voxel = origin_blocks * 8
-
-    # ---- Morton keys + sort (tsdf.cpp:64-65) ----
-    local, in_range = morton.points_to_local_voxels(points, origin_voxel,
-                                                    extent, res)
+    local, in_range = morton.points_to_local_voxels(
+        points, origin_voxel, extent, config.sdf_res)
     valid_pt = in_cloud & in_range
     pt_overflow = jnp.sum(in_cloud & ~in_range).astype(jnp.int32)
     bkey = morton.encode_block(local[:, 0] >> 3, local[:, 1] >> 3,
@@ -72,34 +68,72 @@ def compute_samples(points, n_points, position, origin_blocks,
                                 local[:, 2] & 7)
     bkey = jnp.where(valid_pt, bkey, INT32_MAX)
     okey = jnp.where(valid_pt, okey, INT32_MAX)
+    return bkey, okey, pt_overflow
+
+
+def sort_points(points, bkey, okey):
+    """Sort points by (block, offset) Morton key (tsdf.cpp:64-65)."""
+    n = points.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
     sb, so, perm = jax.lax.sort((bkey, okey, idx), num_keys=2)
-    pts = points[perm]
-    valid_sorted = valid_pt[perm]
+    return points[perm], sb, so
+
+
+def samples_from_sorted_points(pts, sb, so, position, origin_blocks,
+                               config: MapConfig,
+                               pt_overflow=None) -> SampleBatch:
+    """Normals + DDA over Morton-sorted points -> flat sample triples.
+
+    Internally structure-of-arrays: per-axis (N,) and (K, N) arrays keep the
+    big axis on TPU lanes (an (N, 3)/(N, K) layout pads the minor dim to 128
+    lanes — ~7x slower measured).
+    """
+    k = config.dda_steps
+    res, trunc = config.sdf_res, config.sdf_trunc
+    extent = config.blocks_per_axis * 8
+    origin_voxel = origin_blocks * 8
+    valid_sorted = sb != INT32_MAX
+    if pt_overflow is None:
+        pt_overflow = jnp.zeros((), jnp.int32)
+    px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
 
     # ---- normals (tsdf.cpp:67) ----
-    nrm = normals.estimate_normals(pts, sb, so, valid_sorted, position,
-                                   config.normal_min_points,
-                                   config.normal_max_depth)
+    nx, ny, nz = normals.estimate_normals_soa(
+        px, py, pz, sb, so, valid_sorted, position,
+        config.normal_min_points, config.normal_max_depth)
 
     # ---- DDA traversal + signed distances (octree.hpp:92-163) ----
-    vox, vvalid = dda.traverse(pts, position, res, trunc, k)
-    sd = dda.signed_distances(vox, pts, nrm, res, trunc)
-    vvalid = vvalid & valid_sorted[:, None]
+    vx, vy, vz, vvalid = dda.traverse(px, py, pz, position, res, trunc, k)
+    sd = dda.signed_distances(vx, vy, vz, px, py, pz, nx, ny, nz, res, trunc)
+    vvalid = vvalid & valid_sorted[None, :]
 
-    lv = vox - origin_voxel[None, None, :]
-    s_in_range = jnp.all((lv >= 0) & (lv < extent), axis=-1)
+    lx = vx - origin_voxel[0]
+    ly = vy - origin_voxel[1]
+    lz = vz - origin_voxel[2]
+    s_in_range = ((lx >= 0) & (lx < extent) & (ly >= 0) & (ly < extent) &
+                  (lz >= 0) & (lz < extent))
     samp_overflow = jnp.sum(vvalid & ~s_in_range).astype(jnp.int32)
     vvalid = vvalid & s_in_range
-    lv = jnp.clip(lv, 0, extent - 1)
+    lx = jnp.clip(lx, 0, extent - 1)
+    ly = jnp.clip(ly, 0, extent - 1)
+    lz = jnp.clip(lz, 0, extent - 1)
 
-    s_bkey = morton.encode_block(lv[..., 0] >> 3, lv[..., 1] >> 3,
-                                 lv[..., 2] >> 3)
-    s_okey = morton.encode_offset(lv[..., 0] & 7, lv[..., 1] & 7,
-                                  lv[..., 2] & 7)
+    s_bkey = morton.encode_block(lx >> 3, ly >> 3, lz >> 3)
+    s_okey = morton.encode_offset(lx & 7, ly & 7, lz & 7)
     s_bkey = jnp.where(vvalid, s_bkey, INT32_MAX).reshape(-1)
     s_okey = jnp.where(vvalid, s_okey, 0).reshape(-1)
     s_sd = jnp.where(vvalid, sd, 0.0).reshape(-1)
     return SampleBatch(s_bkey, s_okey, s_sd, pt_overflow, samp_overflow)
+
+
+def compute_samples(points, n_points, position, origin_blocks,
+                    config: MapConfig) -> SampleBatch:
+    """Morton sort + normals + DDA: points -> flat sample triples."""
+    bkey, okey, pt_overflow = point_keys(points, n_points, origin_blocks,
+                                         config)
+    pts, sb, so = sort_points(points, bkey, okey)
+    return samples_from_sorted_points(pts, sb, so, position, origin_blocks,
+                                      config, pt_overflow)
 
 
 def sort_samples(batch: SampleBatch) -> SampleBatch:
@@ -117,7 +151,9 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
     cb = config.block_capacity
     t_cap = config.touched_capacity
     reserved_row = cb - 1          # dummy row for the Pallas kernel
-    usable_blocks = cb - 1
+    # the last 8-row group is reserved so dummy grid steps never touch a
+    # live row (see ops/accumulate.py GROUP)
+    usable_blocks = cb - accumulate.GROUP
     s_bkey, s_okey, s_sd = batch.bkey, batch.okey, batch.sd
     total = s_bkey.shape[0]
     n_valid_samples = jnp.sum(s_bkey != INT32_MAX).astype(jnp.int32)
@@ -165,8 +201,10 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
     if _use_pallas(config):
         pad_i = jnp.zeros((accumulate.CHUNK,), jnp.int32)
         pad_f = jnp.zeros((accumulate.CHUNK,), jnp.float32)
+        groups = accumulate.group_touched_blocks(starts_c, lens, tb_slots,
+                                                 t_cap, cb)
         pool_sd, pool_w = accumulate.accumulate_pallas(
-            state.pool_sd, state.pool_w, starts_c, lens, tb_slots,
+            state.pool_sd, state.pool_w, *groups,
             jnp.concatenate([s_okey, pad_i]),
             jnp.concatenate([s_sd, pad_f]),
             touched_capacity=t_cap)

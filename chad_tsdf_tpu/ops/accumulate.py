@@ -5,12 +5,17 @@ mean update (reference: include/chad/detail/octree.hpp:153-163) — with a
 deterministic, scatter-free device pipeline:
 
 * samples arrive **sorted by block key** (single int32 sort);
-* touched-block segments are described by (start, length, pool-slot) triples;
-* a Pallas kernel walks the touched blocks (grid), streams each block's
-  samples from HBM in aligned 1024-wide windows, expands intra-block offsets
-  through an on-the-fly one-hot and reduces them on the MXU
-  (``onehot(offset).T @ [sd, 1]``), then adds the 8x8x8 delta into the
-  aliased pool rows selected by scalar-prefetched slot indices.
+* touched-block segments are described by (start, length, pool-slot)
+  triples, re-sorted by slot and bucketed into *row groups* of 8 consecutive
+  pool rows (Mosaic's sublane tiling makes 8 rows the minimum aligned DMA
+  unit for a (Cb, 512) f32 array);
+* a Pallas kernel walks the groups (grid): DMA the 8-row window of both pool
+  planes into VMEM, then for each member block stream its samples from HBM
+  in aligned 1024-wide windows, expand intra-block offsets through an
+  on-the-fly one-hot and reduce on the MXU (``onehot(offset).T @ [sd, 1]``),
+  add the (512, 2) delta into the member's row, and DMA the window back.
+  Groups are disjoint row ranges, so the sequential grid has no
+  write-after-read hazards.
 
 The pool is two (Cb, 512) planes (sd-sum and weight) — see
 core/state.ActiveMapState for why not (Cb, 512, 2).
@@ -31,9 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # DMA window: Mosaic requires 1-D VMEM slices aligned to 1024 elements for
-# 32-bit dtypes, so blocks are streamed in aligned 1024-sample windows and
-# masked down to the block's [start, start+len) segment.
+# 32-bit dtypes, so block samples are streamed in aligned 1024-sample
+# windows and masked down to the block's [start, start+len) segment.
 CHUNK = 1024
+# pool rows per DMA group (f32 sublane tile height)
+GROUP = 8
 
 
 def accumulate_xla(pool_sd, pool_w, slots_per_sample, offsets, sd, valid):
@@ -52,78 +59,102 @@ def accumulate_xla(pool_sd, pool_w, slots_per_sample, offsets, sd, valid):
     return new_sd, new_w
 
 
-def _accum_kernel(starts_ref, lens_ref, slots_ref,  # scalar prefetch (SMEM)
-                  off_hbm, sd_hbm,                  # ANY (HBM) sample arrays
-                  sd_in_ref, w_in_ref,              # VMEM (1, 512) aliased
-                  sd_out_ref, w_out_ref,            # VMEM (1, 512)
-                  off_vmem, sd_vmem, acc_ref, sem):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    length = lens_ref[t]
-    end = start + length
+def _accum_kernel(gstart_ref, glen_ref, grow_ref,      # scalar prefetch
+                  starts_ref, lens_ref, slots_ref,     # scalar prefetch
+                  off_hbm, sd_hbm, sd_pool_in, w_pool_in,   # ANY
+                  sd_pool_out, w_pool_out,                  # ANY (aliased)
+                  off_vmem, sd_vmem, rows_sd, rows_w, sem):
+    g = pl.program_id(0)
+    gstart = gstart_ref[g]
+    glen = glen_ref[g]
+    row_base = grow_ref[g] * GROUP
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    # fetch the 8-row window of both pool planes
+    cp_in1 = pltpu.make_async_copy(
+        sd_pool_in.at[pl.ds(row_base, GROUP), :], rows_sd, sem.at[0])
+    cp_in2 = pltpu.make_async_copy(
+        w_pool_in.at[pl.ds(row_base, GROUP), :], rows_w, sem.at[1])
+    cp_in1.start()
+    cp_in2.start()
+    cp_in1.wait()
+    cp_in2.wait()
 
-    first = start // CHUNK
-    nchunks = jnp.where(length > 0, (end - 1) // CHUNK - first + 1, 0)
+    def member_body(i, _):
+        t = gstart + i
+        start = starts_ref[t]
+        length = lens_ref[t]
+        end = start + length
+        row = slots_ref[t] - row_base
 
-    def chunk_body(c, _):
-        base = pl.multiple_of((first + c) * CHUNK, CHUNK)
-        cp1 = pltpu.make_async_copy(off_hbm.at[pl.ds(base, CHUNK)],
-                                    off_vmem, sem.at[0])
-        cp2 = pltpu.make_async_copy(sd_hbm.at[pl.ds(base, CHUNK)],
-                                    sd_vmem, sem.at[1])
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
-        # global sample index of each lane in this aligned window
-        g = base + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        mask = ((g >= start) & (g < end)).astype(jnp.float32)  # (CHUNK, 1)
-        off = off_vmem[...].reshape(CHUNK, 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 512), 1)
-        onehot = jnp.where(off == cols, 1.0, 0.0) * mask   # (CHUNK, 512)
-        sd = sd_vmem[...].reshape(CHUNK, 1) * mask
-        vals = jnp.concatenate([sd, mask], axis=-1)        # (CHUNK, 2)
-        acc_ref[...] += jnp.dot(onehot.T, vals,
-                                preferred_element_type=jnp.float32)
+        first = start // CHUNK
+        nchunks = jnp.where(length > 0, (end - 1) // CHUNK - first + 1, 0)
+
+        def chunk_body(c, acc):
+            base = pl.multiple_of((first + c) * CHUNK, CHUNK)
+            cp1 = pltpu.make_async_copy(off_hbm.at[pl.ds(base, CHUNK)],
+                                        off_vmem, sem.at[2])
+            cp2 = pltpu.make_async_copy(sd_hbm.at[pl.ds(base, CHUNK)],
+                                        sd_vmem, sem.at[3])
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
+            g_idx = base + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+            mask = ((g_idx >= start) & (g_idx < end)).astype(jnp.float32)
+            off = off_vmem[...].reshape(CHUNK, 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 512), 1)
+            onehot = jnp.where(off == cols, 1.0, 0.0) * mask   # (CHUNK, 512)
+            sdv = sd_vmem[...].reshape(CHUNK, 1) * mask
+            vals = jnp.concatenate([sdv, mask], axis=-1)       # (CHUNK, 2)
+            return acc + jnp.dot(onehot.T, vals,
+                                 preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(0, nchunks, chunk_body,
+                                jnp.zeros((512, 2), jnp.float32))
+        # add into the member's row without dynamic indexing
+        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) ==
+                  row).astype(jnp.float32)                     # (8, 1)
+        rows_sd[...] += rowsel * acc[:, 0][None, :]
+        rows_w[...] += rowsel * acc[:, 1][None, :]
         return 0
 
-    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
-    sd_out_ref[...] = sd_in_ref[...] + acc_ref[:, 0][None, :]
-    w_out_ref[...] = w_in_ref[...] + acc_ref[:, 1][None, :]
+    jax.lax.fori_loop(0, glen, member_body, 0)
+
+    cp_out1 = pltpu.make_async_copy(
+        rows_sd, sd_pool_out.at[pl.ds(row_base, GROUP), :], sem.at[0])
+    cp_out2 = pltpu.make_async_copy(
+        rows_w, w_pool_out.at[pl.ds(row_base, GROUP), :], sem.at[1])
+    cp_out1.start()
+    cp_out2.start()
+    cp_out1.wait()
+    cp_out2.wait()
 
 
 @functools.partial(jax.jit,
                    static_argnames=("touched_capacity", "interpret"))
-def accumulate_pallas(pool_sd, pool_w, starts, lens, slots, offsets, sd,
+def accumulate_pallas(pool_sd, pool_w, gstart, glen, grow,
+                      starts, lens, slots, offsets, sd,
                       touched_capacity: int, interpret: bool = False):
-    """TPU path: per-touched-block MXU accumulation.
+    """TPU path: per-row-group MXU accumulation.
 
-    pool_sd/pool_w: f32[Cb, 512]; starts/lens/slots: i32[T];
-    offsets: i32[S+pad]; sd: f32[S+pad] — sample arrays must be padded by at
-    least CHUNK so the final aligned window stays in bounds.
+    pool_sd/pool_w: f32[Cb, 512].  gstart/glen/grow: i32[T] row-group table
+    (see group_touched_blocks).  starts/lens/slots: i32[T] touched-block
+    segments SORTED BY SLOT.  offsets: i32[S+pad]; sd: f32[S+pad] — sample
+    arrays padded by at least CHUNK so the final aligned window stays in
+    bounds.
     """
     t_cap = touched_capacity
-    row = lambda t, st, ln, sl: (sl[t], 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=6,
         grid=(t_cap,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # offsets
-            pl.BlockSpec(memory_space=pl.ANY),  # sd
-            pl.BlockSpec((1, 512), row),
-            pl.BlockSpec((1, 512), row),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 512), row),
-            pl.BlockSpec((1, 512), row),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=[
             pltpu.VMEM((CHUNK,), jnp.int32),
             pltpu.VMEM((CHUNK,), jnp.float32),
-            pltpu.VMEM((512, 2), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((GROUP, 512), jnp.float32),
+            pltpu.VMEM((GROUP, 512), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(
@@ -133,7 +164,31 @@ def accumulate_pallas(pool_sd, pool_w, starts, lens, slots, offsets, sd,
             jax.ShapeDtypeStruct(pool_sd.shape, pool_sd.dtype),
             jax.ShapeDtypeStruct(pool_w.shape, pool_w.dtype),
         ],
-        input_output_aliases={5: 0, 6: 1},  # pools (after 3 scalars + 2 hbm)
+        input_output_aliases={8: 0, 9: 1},  # pools (after 6 scalars + 2 hbm)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(starts, lens, slots, offsets, sd, pool_sd, pool_w)
+    )(gstart, glen, grow, starts, lens, slots, offsets, sd, pool_sd, pool_w)
+
+
+def group_touched_blocks(starts, lens, slots, t_cap: int, cb: int):
+    """Sort touched blocks by pool slot and bucket into 8-row groups.
+
+    Returns (gstart, glen, grow, starts_s, lens_s, slots_s) — all i32[T].
+    Dummy groups point at the reserved last 8 pool rows with zero length.
+    """
+    from . import segops
+
+    reserved_group = cb // GROUP - 1
+    slots_s, starts_s, lens_s = jax.lax.sort((slots, starts, lens),
+                                             num_keys=1)
+    gkey = slots_s // GROUP
+    flags = segops.boundary_flags(gkey)
+    pos, g_count, _ = segops.compact_flag_positions(flags, t_cap)
+    gvalid = jnp.arange(t_cap, dtype=jnp.int32) < g_count
+    pos_c = jnp.minimum(pos, t_cap - 1)
+    nxt = jnp.concatenate([pos[1:], jnp.full((1,), t_cap, jnp.int32)])
+    gstart = jnp.where(gvalid, pos_c, 0)
+    glen = jnp.where(gvalid, jnp.minimum(nxt, t_cap) - pos_c, 0)
+    grow = jnp.where(gvalid, gkey[pos_c], reserved_group)
+    grow = jnp.minimum(grow, reserved_group)
+    return gstart, glen, grow, starts_s, lens_s, slots_s

@@ -19,6 +19,9 @@ TPU-native reformulation (order-independent, deterministic):
   covariance; otherwise the fallback normal ``normalize(position - point)``
   is used (normals.hpp:127-134).
 
+Layout note (TPU): all arrays are 1-D (N,) or feature-major (F, N) so the
+large axis is the lane dimension — see ops/dda.py.
+
 Two deliberate deviations from the reference, documented per SURVEY §7:
 the reference's greedy cursor makes later points in a segment use only the
 segment *suffix* and its forward walk never absorbs the final point
@@ -29,7 +32,8 @@ Numerical care: covariance is accumulated from coordinates *relative to the
 segment's first point* (shift-invariant), so second moments never suffer the
 catastrophic cancellation a global cumsum-difference would have at world
 scale.  The reference uses double precision (normals.hpp:12); TPUs have no
-f64, and the relative-coordinate trick achieves comparable accuracy in f32.
+f64, so additionally the covariance is normalized to unit max element
+before the quartic determinant weights (which would underflow f32).
 """
 
 from __future__ import annotations
@@ -42,67 +46,67 @@ from . import segops
 def _plane_normal_from_moments(n, s, ss):
     """Weighted-determinant plane normal from segment moments.
 
-    ``n``: (N,) counts; ``s``: (N,3) coordinate sums; ``ss``: (N,6) sums of
-    products (xx, xy, xz, yy, yz, zz) — all relative to an arbitrary
-    per-segment shift.  Reproduces normals.hpp:10-80 exactly in f32.
+    ``n``: (N,) counts; ``s``: (3, N) coordinate sums; ``ss``: (6, N) sums
+    of products (xx, xy, xz, yy, yz, zz) — all relative to an arbitrary
+    per-segment shift.  Reproduces normals.hpp:10-80 in f32.
+    Returns (nx, ny, nz) unit normals.
     """
     recip = 1.0 / jnp.maximum(n, 1.0)
-    mean = s * recip[:, None]
-    xx = ss[:, 0] * recip - mean[:, 0] * mean[:, 0]
-    xy = ss[:, 1] * recip - mean[:, 0] * mean[:, 1]
-    xz = ss[:, 2] * recip - mean[:, 0] * mean[:, 2]
-    yy = ss[:, 3] * recip - mean[:, 1] * mean[:, 1]
-    yz = ss[:, 4] * recip - mean[:, 1] * mean[:, 2]
-    zz = ss[:, 5] * recip - mean[:, 2] * mean[:, 2]
+    mx, my, mz = s[0] * recip, s[1] * recip, s[2] * recip
+    xx = ss[0] * recip - mx * mx
+    xy = ss[1] * recip - mx * my
+    xz = ss[2] * recip - mx * mz
+    yy = ss[3] * recip - my * my
+    yz = ss[4] * recip - my * mz
+    zz = ss[5] * recip - mz * mz
 
-    # The reference computes in f64 (normals.hpp:12); in f32 the quartic
-    # determinant weights underflow for mm-scale neighbourhoods.  The normal
-    # direction is invariant to a uniform covariance scale, so normalize the
-    # covariance to unit max element first.
-    m = jnp.max(jnp.stack([jnp.abs(xx), jnp.abs(xy), jnp.abs(xz),
-                           jnp.abs(yy), jnp.abs(yz), jnp.abs(zz)]), axis=0)
-    ms = 1.0 / jnp.maximum(m, 1e-30)
-    xx, xy, xz = xx * ms, xy * ms, xz * ms
-    yy, yz, zz = yy * ms, yz * ms, zz * ms
+    # normalize covariance scale (reference computes in f64; the quartic
+    # weights below underflow f32 for mm-scale neighbourhoods)
+    m = jnp.maximum(jnp.abs(xx), jnp.abs(xy))
+    m = jnp.maximum(m, jnp.abs(xz))
+    m = jnp.maximum(m, jnp.abs(yy))
+    m = jnp.maximum(m, jnp.abs(yz))
+    m = jnp.maximum(m, jnp.abs(zz))
+    msc = 1.0 / jnp.maximum(m, 1e-30)
+    xx, xy, xz = xx * msc, xy * msc, xz * msc
+    yy, yz, zz = yy * msc, yz * msc, zz * msc
 
     det_x = yy * zz - yz * yz
-    ax = jnp.stack([det_x, xz * yz - xy * zz, xy * yz - xz * yy], axis=-1)
+    ax0, ax1, ax2 = det_x, xz * yz - xy * zz, xy * yz - xz * yy
     w = det_x * det_x
-    wdir = ax * w[:, None]
+    wx, wy, wz = ax0 * w, ax1 * w, ax2 * w
 
     det_y = xx * zz - xz * xz
-    ay = jnp.stack([xz * yz - xy * zz, det_y, xy * xz - yz * xx], axis=-1)
+    ay0, ay1, ay2 = xz * yz - xy * zz, det_y, xy * xz - yz * xx
     w = det_y * det_y
-    w = jnp.where(jnp.sum(wdir * ay, axis=-1) < 0.0, -w, w)
-    wdir = wdir + ay * w[:, None]
+    w = jnp.where(wx * ay0 + wy * ay1 + wz * ay2 < 0.0, -w, w)
+    wx, wy, wz = wx + ay0 * w, wy + ay1 * w, wz + ay2 * w
 
     det_z = xx * yy - xy * xy
-    az = jnp.stack([xy * yz - xz * yy, xy * xz - yz * xx, det_z], axis=-1)
+    az0, az1, az2 = xy * yz - xz * yy, xy * xz - yz * xx, det_z
     w = det_z * det_z
-    w = jnp.where(jnp.sum(wdir * az, axis=-1) < 0.0, -w, w)
-    wdir = wdir + az * w[:, None]
+    w = jnp.where(wx * az0 + wy * az1 + wz * az2 < 0.0, -w, w)
+    wx, wy, wz = wx + az0 * w, wy + az1 * w, wz + az2 * w
 
-    norm = jnp.linalg.norm(wdir, axis=-1, keepdims=True)
-    return wdir / jnp.maximum(norm, 1e-30)
+    norm = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    inv = 1.0 / jnp.maximum(norm, 1e-30)
+    return wx * inv, wy * inv, wz * inv
 
 
-def estimate_normals(points_sorted: jnp.ndarray, block_keys: jnp.ndarray,
-                     offsets: jnp.ndarray, valid: jnp.ndarray,
-                     position: jnp.ndarray, min_points: int = 8,
-                     max_depth: int = 3) -> jnp.ndarray:
+def estimate_normals_soa(px, py, pz, block_keys, offsets, valid, position,
+                         min_points: int = 8, max_depth: int = 3):
     """Estimate one normal per (sorted) point.
 
     Args:
-      points_sorted: (N, 3) f32 points in Morton order.
+      px, py, pz: (N,) f32 point coordinates in Morton order.
       block_keys / offsets: (N,) int32 local Morton key of each point's voxel.
       valid: (N,) bool — padding mask; invalid points get the fallback normal.
       position: (3,) scanner position.
     Returns:
-      (N, 3) f32 unit normals, flipped toward the scanner
+      (nx, ny, nz): (N,) f32 unit normals, flipped toward the scanner
       (normals.hpp:117-118).
     """
-    n = points_sorted.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
+    n = px.shape[0]
 
     # relative coordinates for numerically safe second moments
     # (anchor = the segment start at the COARSEST depth, shared by all finer
@@ -111,41 +115,53 @@ def estimate_normals(points_sorted: jnp.ndarray, block_keys: jnp.ndarray,
     coarse_flags = segops.boundary_flags((block_keys, coarse_key)) | \
         segops.boundary_flags(valid)
     anchor_pos = segops.segment_start_positions(coarse_flags)
-    anchor = points_sorted[anchor_pos]
-    rel = points_sorted - anchor
+    rx = px - px[anchor_pos]
+    ry = py - py[anchor_pos]
+    rz = pz - pz[anchor_pos]
 
-    prods = jnp.stack([
-        rel[:, 0] * rel[:, 0], rel[:, 0] * rel[:, 1], rel[:, 0] * rel[:, 2],
-        rel[:, 1] * rel[:, 1], rel[:, 1] * rel[:, 2], rel[:, 2] * rel[:, 2],
-    ], axis=-1)
-    feats = jnp.concatenate([jnp.ones((n, 1), jnp.float32), rel, prods], axis=-1)
+    feats = jnp.stack([
+        jnp.ones((n,), jnp.float32), rx, ry, rz,
+        rx * rx, rx * ry, rx * rz, ry * ry, ry * rz, rz * rz,
+    ], axis=0)                                           # (10, N)
 
-    best_n = jnp.zeros((n,), jnp.float32)
-    best_s = jnp.zeros((n, 3), jnp.float32)
-    best_ss = jnp.zeros((n, 6), jnp.float32)
+    best = jnp.zeros((10, n), jnp.float32)
     found = jnp.zeros((n,), jnp.bool_)
 
     for depth in range(max_depth):
         key_d = offsets >> (3 * depth)
         flags = segops.boundary_flags((block_keys, key_d)) | \
             segops.boundary_flags(valid)
-        run = segops.segmented_sum_scan(flags, feats)
+        run = segops.segmented_sum_scan(flags, feats)     # (10, N)
         end = segops.segment_end_positions(flags)
-        seg = run[jnp.clip(end - 1, 0, n - 1)]        # per-segment totals
-        cnt = seg[:, 0]
+        seg = run[:, jnp.clip(end - 1, 0, n - 1)]         # (10, N)
+        cnt = seg[0]
         ok = (~found) & (cnt >= float(min_points))
-        best_n = jnp.where(ok, cnt, best_n)
-        best_s = jnp.where(ok[:, None], seg[:, 1:4], best_s)
-        best_ss = jnp.where(ok[:, None], seg[:, 4:10], best_ss)
+        best = jnp.where(ok[None, :], seg, best)
         found = found | ok
 
-    normal = _plane_normal_from_moments(best_n, best_s, best_ss)
-    to_scanner = position[None, :] - points_sorted
-    to_scanner = to_scanner / jnp.maximum(
-        jnp.linalg.norm(to_scanner, axis=-1, keepdims=True), 1e-30)
+    nx, ny, nz = _plane_normal_from_moments(best[0], best[1:4], best[4:10])
+
+    tx = position[0] - px
+    ty = position[1] - py
+    tz = position[2] - pz
+    tn = jnp.sqrt(tx * tx + ty * ty + tz * tz)
+    tinv = 1.0 / jnp.maximum(tn, 1e-30)
+    tx, ty, tz = tx * tinv, ty * tinv, tz * tinv
     # flip plane normal toward the scanner (normals.hpp:117-118)
-    flip = jnp.sum(normal * to_scanner, axis=-1) < 0.0
-    normal = jnp.where(flip[:, None], -normal, normal)
+    flip = nx * tx + ny * ty + nz * tz < 0.0
+    nx = jnp.where(flip, -nx, nx)
+    ny = jnp.where(flip, -ny, ny)
+    nz = jnp.where(flip, -nz, nz)
     # fallback: normalized point->scanner vector (normals.hpp:127-134)
-    use_fallback = (~found) | (~valid)
-    return jnp.where(use_fallback[:, None], to_scanner, normal)
+    fb = (~found) | (~valid)
+    return (jnp.where(fb, tx, nx), jnp.where(fb, ty, ny),
+            jnp.where(fb, tz, nz))
+
+
+def estimate_normals(points_sorted, block_keys, offsets, valid, position,
+                     min_points: int = 8, max_depth: int = 3):
+    """(N, 3)-array convenience wrapper around :func:`estimate_normals_soa`."""
+    nx, ny, nz = estimate_normals_soa(
+        points_sorted[:, 0], points_sorted[:, 1], points_sorted[:, 2],
+        block_keys, offsets, valid, position, min_points, max_depth)
+    return jnp.stack([nx, ny, nz], axis=-1)

@@ -54,13 +54,15 @@ def segment_end_positions(flags: jnp.ndarray) -> jnp.ndarray:
 def segmented_sum_scan(flags: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     """Inclusive running sum that resets at each segment start.
 
-    ``values`` may be (N,) or (N, D); ``flags`` is (N,) boolean.  The value at
-    a segment's last element is the exact per-segment sum, accumulated only
-    within the segment (numerically superior to cumsum-difference).
+    ``values`` may be (N,) or feature-major (F, N) — feature-major so the
+    large N axis is the TPU lane dimension (an (N, F) layout would pad F to
+    128 lanes).  ``flags`` is (N,) boolean.  The value at a segment's last
+    element is the exact per-segment sum, accumulated only within the
+    segment (numerically superior to cumsum-difference).
     """
+    axis = values.ndim - 1
     if values.ndim > 1:
-        f = flags[:, None]
-        f = jnp.broadcast_to(f, values.shape)
+        f = jnp.broadcast_to(flags[None, :], values.shape)
     else:
         f = flags
 
@@ -69,7 +71,7 @@ def segmented_sum_scan(flags: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
         fb, vb = b
         return fa | fb, jnp.where(fb, vb, va + vb)
 
-    _, out = jax.lax.associative_scan(combine, (f, values))
+    _, out = jax.lax.associative_scan(combine, (f, values), axis=axis)
     return out
 
 

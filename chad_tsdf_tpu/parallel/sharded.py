@@ -72,55 +72,71 @@ def create_sharded_state(config: MapConfig, mesh: Mesh, origin_blocks,
     return jax.device_put(stacked, sharding)
 
 
-def _route_samples(batch: integrate.SampleBatch, bounds: jnp.ndarray,
-                   route_capacity: int, axis: str):
-    """Exchange key-sorted samples so each shard holds only keys it owns.
+def _route_by_key(keys: jnp.ndarray, int_fields: list, f32_fields: list,
+                  bounds: jnp.ndarray, capacity: int, axis: str):
+    """Exchange key-sorted rows so each shard holds only keys it owns.
 
-    Returns a SampleBatch of size n_shards * route_capacity (sorted again)
-    plus an overflow count.
+    ``keys`` must be ascending with INT32_MAX sentinels at the end.  Each
+    (src, dst) pair carries up to ``capacity`` rows; the overflow count is
+    returned (never silently dropped rows without accounting).  Returns
+    (recv_keys, recv_int_fields, recv_f32_fields, overflow) with
+    n_shards * capacity rows, unsorted.
     """
-    d = bounds.shape[0] - 1
-    c = route_capacity
-    s = batch.bkey.shape[0]
+    c = capacity
+    s = keys.shape[0]
 
-    # per-destination contiguous segments of the sorted sample array
-    seg = jnp.searchsorted(batch.bkey, bounds).astype(jnp.int32)  # (d+1,)
+    # per-destination contiguous segments of the sorted key array
+    seg = jnp.searchsorted(keys, bounds).astype(jnp.int32)  # (d+1,)
     starts, ends = seg[:-1], seg[1:]
     lens = ends - starts
     overflow = jnp.sum(jnp.maximum(lens - c, 0)).astype(jnp.int32)
 
-    # gather send buffers (d, c) per field
     j = jnp.arange(c, dtype=jnp.int32)[None, :]
     idx = jnp.minimum(starts[:, None] + j, s - 1)
     valid = j < lens[:, None]
-    send_b = jnp.where(valid, batch.bkey[idx], INT32_MAX)
-    send_o = jnp.where(valid, batch.okey[idx], 0)
-    send_s = jnp.where(valid, batch.sd[idx], 0.0)
 
-    # all_to_all: row i of the send buffer goes to shard i
-    recv_b = jax.lax.all_to_all(send_b, axis, 0, 0, tiled=False)
-    recv_o = jax.lax.all_to_all(send_o, axis, 0, 0, tiled=False)
-    recv_s = jax.lax.all_to_all(send_s, axis, 0, 0, tiled=False)
+    send_k = jnp.where(valid, keys[idx], INT32_MAX)
+    send_i = jnp.stack([jnp.where(valid, f[idx], 0) for f in int_fields],
+                       axis=-1) if int_fields else None
+    send_f = jnp.stack([jnp.where(valid, f[idx], 0.0) for f in f32_fields],
+                       axis=-1) if f32_fields else None
 
-    out = integrate.SampleBatch(
-        recv_b.reshape(-1), recv_o.reshape(-1), recv_s.reshape(-1),
-        batch.pt_overflow, batch.samp_overflow)
-    return integrate.sort_samples(out), overflow
+    recv_k = jax.lax.all_to_all(send_k, axis, 0, 0, tiled=False).reshape(-1)
+    recv_i = []
+    if send_i is not None:
+        r = jax.lax.all_to_all(send_i, axis, 0, 0, tiled=False)
+        recv_i = [r.reshape(-1, len(int_fields))[:, i]
+                  for i in range(len(int_fields))]
+    recv_f = []
+    if send_f is not None:
+        r = jax.lax.all_to_all(send_f, axis, 0, 0, tiled=False)
+        recv_f = [r.reshape(-1, len(f32_fields))[:, i]
+                  for i in range(len(f32_fields))]
+    return recv_k, recv_i, recv_f, overflow
 
 
 def make_sharded_insert(config: MapConfig, mesh: Mesh,
                         route_capacity: int | None = None,
+                        point_route_slack: float = 2.0,
                         axis: str = "shard"):
     """Build the jitted SPMD insert step.
 
     Returns ``step(state_stack, points, n_points, position) ->
     (state_stack, metrics)`` where ``state_stack`` leaves carry a leading
     device axis and ``points`` is (n_shards * max_points, 3) data-parallel.
+
+    Two routing rounds per step: (1) points are routed to their voxel's
+    owner shard BEFORE normal estimation, so Morton neighbourhoods see the
+    full point set of their region (segments only clip at the rare shard
+    range boundary); (2) ray samples are routed to owner shards — the halo
+    exchange for truncation bands crossing shard borders.
     """
     n_shards = mesh.devices.size
     if route_capacity is None:
         # uniform routing load + 2x safety slack
         route_capacity = 2 * config.sample_capacity // max(n_shards, 1)
+    pt_capacity = int(point_route_slack * config.max_points
+                      / max(n_shards, 1))
     bounds_np = key_bounds(n_shards, config)
 
     def shard_fn(state, points, n_points, position):
@@ -128,14 +144,30 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
         points = points.reshape(-1, 3)
         bounds = jnp.asarray(bounds_np)
 
-        batch = integrate.compute_samples(points, n_points[0], position,
-                                          state.origin_blocks, config)
+        # ---- round 1: route points to owners before normal estimation ----
+        bkey, okey, pt_ovf = integrate.point_keys(
+            points, n_points[0], state.origin_blocks, config)
+        pts_s, sb, so = integrate.sort_points(points, bkey, okey)
+        rk, (ro,), (px, py, pz), pt_route_ovf = _route_by_key(
+            sb, [so], [pts_s[:, 0], pts_s[:, 1], pts_s[:, 2]],
+            bounds, pt_capacity, axis)
+        rpts = jnp.stack([px, py, pz], axis=-1)
+        rpts, rb2, ro2 = integrate.sort_points(rpts, rk, ro)
+
+        batch = integrate.samples_from_sorted_points(
+            rpts, rb2, ro2, position, state.origin_blocks, config, pt_ovf)
         batch = integrate.sort_samples(batch)
-        batch, route_overflow = _route_samples(batch, bounds,
-                                               route_capacity, axis)
+
+        # ---- round 2: halo exchange of ray samples ----
+        sk, (sok,), (ssd,), s_route_ovf = _route_by_key(
+            batch.bkey, [batch.okey], [batch.sd], bounds, route_capacity,
+            axis)
+        batch = integrate.sort_samples(integrate.SampleBatch(
+            sk, sok, ssd, batch.pt_overflow, batch.samp_overflow))
+
         state, metrics = integrate.update_pool(state, batch, config)
-        # drop counters of samples this shard does not own from its metrics
-        metrics["route_overflow"] = route_overflow
+        metrics["point_route_overflow"] = pt_route_ovf
+        metrics["route_overflow"] = s_route_ovf
         metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
         state = jax.tree.map(lambda x: x[None], state)  # re-add device axis
         return state, metrics

@@ -56,11 +56,14 @@ def test_traverse_matches_scalar_reference():
     pts = rng.uniform(-3, 3, size=(n, 3)).astype(np.float32)
     pos = np.array([0.1, -0.2, 0.3], np.float32)
     k = 12
-    vox, valid = dda.traverse(jnp.asarray(pts), jnp.asarray(pos), res, trunc, k)
-    vox, valid = np.asarray(vox), np.asarray(valid)
+    vx, vy, vz, valid = dda.traverse(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]),
+        jnp.asarray(pos), res, trunc, k)
+    vx, vy, vz = np.asarray(vx), np.asarray(vy), np.asarray(vz)
+    valid = np.asarray(valid)
     for i in range(n):
         want = scalar_dda(pts[i], pos, res, trunc)
-        got = [tuple(vox[i, j]) for j in range(k) if valid[i, j]]
+        got = [(vx[j, i], vy[j, i], vz[j, i]) for j in range(k) if valid[j, i]]
         assert got == want, f"ray {i}: {got} != {want}"
 
 
@@ -72,11 +75,14 @@ def test_traverse_axis_aligned_and_degenerate():
         [0.026, 0.026, 0.026],  # short diagonal
     ], np.float32)
     pos = np.zeros(3, np.float32)
-    vox, valid = dda.traverse(jnp.asarray(pts), jnp.asarray(pos), res, trunc, 12)
-    vox, valid = np.asarray(vox), np.asarray(valid)
+    vx, vy, vz, valid = dda.traverse(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]),
+        jnp.asarray(pos), res, trunc, 12)
+    vx, vy, vz = np.asarray(vx), np.asarray(vy), np.asarray(vz)
+    valid = np.asarray(valid)
     for i in range(len(pts)):
         want = scalar_dda(pts[i], pos, res, trunc)
-        got = [tuple(vox[i, j]) for j in range(12) if valid[i, j]]
+        got = [(vx[j, i], vy[j, i], vz[j, i]) for j in range(12) if valid[j, i]]
         assert got == want
 
 
@@ -88,24 +94,28 @@ def test_budget_never_truncates():
     pts = rng.uniform(-5, 5, size=(2000, 3)).astype(np.float32)
     pos = np.zeros(3, np.float32)
     k = cfg.dda_steps
-    vox, valid = dda.traverse(jnp.asarray(pts), jnp.asarray(pos),
-                              cfg.sdf_res, cfg.sdf_trunc, k)
+    _, _, _, valid = dda.traverse(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]),
+        jnp.asarray(pos), cfg.sdf_res, cfg.sdf_trunc, k)
     valid = np.asarray(valid)
     # every ray must terminate before exhausting the budget: the last slot
     # can only be valid if the scalar reference also visits k voxels
-    for i in np.nonzero(valid[:, -1])[0]:
+    for i in np.nonzero(valid[-1, :])[0]:
         want = scalar_dda(pts[i], pos, cfg.sdf_res, cfg.sdf_trunc)
         assert len(want) == k
 
 
 def test_signed_distance_clamped_projective():
     res, trunc = 0.05, 0.1
-    pts = np.array([[1.0, 0.0, 0.0]], np.float32)
-    normals = np.array([[-1.0, 0.0, 0.0]], np.float32)
-    vox = np.array([[[21, 0, 0], [19, 0, 0], [50, 0, 0]]], np.int32)
-    sd = np.asarray(dda.signed_distances(jnp.asarray(vox), jnp.asarray(pts),
-                                         jnp.asarray(normals), res, trunc))
+    # one ray, K=3 slots: voxels 21, 19, 50 along x
+    vx = jnp.asarray([[21], [19], [50]], jnp.int32)
+    vy = jnp.zeros((3, 1), jnp.int32)
+    vz = jnp.zeros((3, 1), jnp.int32)
+    one = jnp.asarray([1.0], jnp.float32)
+    zero = jnp.zeros(1, jnp.float32)
+    sd = np.asarray(dda.signed_distances(
+        vx, vy, vz, one, zero, zero, -one, zero, zero, res, trunc))
     # voxel position = voxel*res (min corner), sd = dot(n, vpos - p)
     np.testing.assert_allclose(sd[0, 0], -(21 * res - 1.0), rtol=1e-5)
-    np.testing.assert_allclose(sd[0, 1], -(19 * res - 1.0), rtol=1e-4)
-    assert sd[0, 2] == -trunc  # clamped
+    np.testing.assert_allclose(sd[1, 0], -(19 * res - 1.0), rtol=1e-4)
+    assert sd[2, 0] == -trunc  # clamped

@@ -159,37 +159,39 @@ def test_pallas_interpret_matches_xla():
     """Differential test: the Pallas accumulate kernel (interpret mode on
     CPU) must produce bit-identical pools to the XLA scatter path."""
     from chad_tsdf_tpu.ops import accumulate as acc_mod
-    import jax.experimental.pallas as pl  # noqa: F401
 
     rng = np.random.default_rng(9)
     cb, t_cap, s_n = 64, 32, 4096
     pool_sd = jnp.zeros((cb, 512), jnp.float32)
     pool_w = jnp.zeros((cb, 512), jnp.float32)
-    # build sorted-by-block synthetic samples over 20 blocks
-    blocks = np.sort(rng.integers(0, 30, s_n))  # < t_cap distinct blocks
+    # sorted-by-block synthetic samples over <32 blocks, slots scattered
+    blocks = np.sort(rng.integers(0, 30, s_n))
     offs = rng.integers(0, 512, s_n)
     sd = rng.normal(size=s_n).astype(np.float32)
-    starts_np, lens_np, slots_np, keys = [], [], [], []
     uniq = np.unique(blocks)
-    for i, b in enumerate(uniq[:t_cap]):
+    slot_of = {b: int(s) for b, s in
+               zip(uniq, rng.permutation(cb - acc_mod.GROUP)[:len(uniq)])}
+    starts_np, lens_np, slots_np = [], [], []
+    for b in uniq:
         m = np.nonzero(blocks == b)[0]
-        starts_np.append(m[0])
+        starts_np.append(int(m[0]))
         lens_np.append(len(m))
-        slots_np.append(i)
+        slots_np.append(slot_of[b])
     pad_t = t_cap - len(starts_np)
     starts = jnp.asarray(starts_np + [0] * pad_t, jnp.int32)
     lens = jnp.asarray(lens_np + [0] * pad_t, jnp.int32)
     slots = jnp.asarray(slots_np + [cb - 1] * pad_t, jnp.int32)
 
     slot_per_sample = np.zeros(s_n, np.int32)
-    for i, b in enumerate(uniq[:t_cap]):
-        slot_per_sample[blocks == b] = i
+    for b in uniq:
+        slot_per_sample[blocks == b] = slot_of[b]
     ref_sd, ref_w = acc_mod.accumulate_xla(
         pool_sd, pool_w, jnp.asarray(slot_per_sample),
         jnp.asarray(offs, jnp.int32), jnp.asarray(sd), jnp.ones(s_n, bool))
 
+    groups = acc_mod.group_touched_blocks(starts, lens, slots, t_cap, cb)
     got_sd, got_w = acc_mod.accumulate_pallas(
-        pool_sd, pool_w, starts, lens, slots,
+        pool_sd, pool_w, *groups,
         jnp.concatenate([jnp.asarray(offs, jnp.int32),
                          jnp.zeros(acc_mod.CHUNK, jnp.int32)]),
         jnp.concatenate([jnp.asarray(sd),

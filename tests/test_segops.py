@@ -31,14 +31,14 @@ def test_segmented_sum_scan_exact():
     n = 1000
     seg_ids = np.sort(rng.integers(0, 50, n))
     flags = jnp.asarray(np.concatenate([[True], seg_ids[1:] != seg_ids[:-1]]))
-    vals = rng.normal(size=(n, 4)).astype(np.float32)
+    vals = rng.normal(size=(4, n)).astype(np.float32)   # feature-major
     run = np.asarray(segops.segmented_sum_scan(flags, jnp.asarray(vals)))
     # value at each segment's last element == exact numpy per-segment sum
     ends = np.nonzero(np.concatenate([np.asarray(flags)[1:], [True]]))[0]
     starts = np.nonzero(np.asarray(flags))[0]
     for s, e in zip(starts, ends):
-        np.testing.assert_allclose(run[e], vals[s:e + 1].sum(0), rtol=1e-5,
-                                   atol=1e-5)
+        np.testing.assert_allclose(run[:, e], vals[:, s:e + 1].sum(1),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_compact_flag_positions():

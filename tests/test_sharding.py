@@ -52,12 +52,17 @@ def test_sharded_matches_single_device():
 
     pts = sphere_points(n_dev * CFG.max_points)
     state_stack = create_sharded_state(CFG, mesh, origin)
-    step, route_cap = make_sharded_insert(CFG, mesh)
+    # equal key-range partition concentrates this small sphere into few
+    # shards; give routing full-worst-case capacity for the equivalence test
+    step, route_cap = make_sharded_insert(
+        CFG, mesh, route_capacity=CFG.max_points * CFG.dda_steps,
+        point_route_slack=8.0)
     n_per = np.full((n_dev,), CFG.max_points, np.int32)
     state_stack, metrics = step(state_stack, jnp.asarray(pts),
                                 jnp.asarray(n_per), jnp.asarray(pos))
     metrics = {k: int(v) for k, v in metrics.items()}
     assert metrics["route_overflow"] == 0
+    assert metrics["point_route_overflow"] == 0
 
     # single-device oracle over the same full cloud
     sd_cfg = MapConfig(**{**CFG.__dict__,
@@ -97,7 +102,9 @@ def test_ownership_partition():
     origin = origin_blocks_for_position(pos, CFG)
     pts = sphere_points(n_dev * CFG.max_points, seed=3)
     state_stack = create_sharded_state(CFG, mesh, origin)
-    step, _ = make_sharded_insert(CFG, mesh)
+    step, _ = make_sharded_insert(
+        CFG, mesh, route_capacity=CFG.max_points * CFG.dda_steps,
+        point_route_slack=8.0)
     n_per = np.full((n_dev,), CFG.max_points, np.int32)
     state_stack, _ = step(state_stack, jnp.asarray(pts), jnp.asarray(n_per),
                           jnp.asarray(pos))
@@ -115,7 +122,9 @@ def test_sharded_determinism():
     pos = np.zeros(3, np.float32)
     origin = origin_blocks_for_position(pos, CFG)
     pts = sphere_points(n_dev * CFG.max_points, seed=4)
-    step, _ = make_sharded_insert(CFG, mesh)
+    step, _ = make_sharded_insert(
+        CFG, mesh, route_capacity=CFG.max_points * CFG.dda_steps,
+        point_route_slack=8.0)
     n_per = np.full((n_dev,), CFG.max_points, np.int32)
     s1, _ = step(create_sharded_state(CFG, mesh, origin), jnp.asarray(pts),
                  jnp.asarray(n_per), jnp.asarray(pos))
