@@ -42,11 +42,33 @@ from .state import INT32_MAX, ActiveMapState
 
 
 class SampleBatch(NamedTuple):
+    """Flat ray samples.
+
+    ``payload`` packs the 9-bit intra-block offset and the signed distance
+    quantized to 16 bits into one int32 (halves the sort payload and the
+    routing traffic; 16-bit sd granularity is trunc/32767, far below the
+    8-bit output codec's trunc/127):  payload = offset << 16 | sd_q16.
+    """
     bkey: jnp.ndarray    # i32[S] block Morton key, INT32_MAX = invalid
-    okey: jnp.ndarray    # i32[S] 9-bit intra-block offset
-    sd: jnp.ndarray      # f32[S] clamped projective signed distance
+    payload: jnp.ndarray  # i32[S] offset<<16 | 16-bit quantized sd
     pt_overflow: jnp.ndarray     # i32[] points outside the local extent
     samp_overflow: jnp.ndarray   # i32[] samples outside the local extent
+
+
+SD_QUANT = 32767.0
+
+
+def pack_payload(okey, sd, sdf_trunc: float):
+    q = jnp.round(sd * (SD_QUANT / sdf_trunc)).astype(jnp.int32)
+    q = jnp.clip(q, -32767, 32767)
+    return (okey << 16) | (q & 0xFFFF)
+
+
+def unpack_payload(payload, sdf_trunc: float):
+    okey = (payload >> 16) & 0x1FF
+    q = (payload << 16) >> 16          # arithmetic shift sign-extends
+    sd = q.astype(jnp.float32) * (sdf_trunc / SD_QUANT)
+    return okey, sd
 
 
 def point_keys(points, n_points, origin_blocks, config: MapConfig):
@@ -120,10 +142,10 @@ def samples_from_sorted_points(pts, sb, so, position, origin_blocks,
 
     s_bkey = morton.encode_block(lx >> 3, ly >> 3, lz >> 3)
     s_okey = morton.encode_offset(lx & 7, ly & 7, lz & 7)
+    payload = pack_payload(s_okey, sd, trunc)
     s_bkey = jnp.where(vvalid, s_bkey, INT32_MAX).reshape(-1)
-    s_okey = jnp.where(vvalid, s_okey, 0).reshape(-1)
-    s_sd = jnp.where(vvalid, sd, 0.0).reshape(-1)
-    return SampleBatch(s_bkey, s_okey, s_sd, pt_overflow, samp_overflow)
+    payload = jnp.where(vvalid, payload, 0).reshape(-1)
+    return SampleBatch(s_bkey, payload, pt_overflow, samp_overflow)
 
 
 def compute_samples(points, n_points, position, origin_blocks,
@@ -137,8 +159,8 @@ def compute_samples(points, n_points, position, origin_blocks,
 
 
 def sort_samples(batch: SampleBatch) -> SampleBatch:
-    b, o, s = jax.lax.sort((batch.bkey, batch.okey, batch.sd), num_keys=1)
-    return SampleBatch(b, o, s, batch.pt_overflow, batch.samp_overflow)
+    b, p = jax.lax.sort((batch.bkey, batch.payload), num_keys=1)
+    return SampleBatch(b, p, batch.pt_overflow, batch.samp_overflow)
 
 
 def update_pool(state: ActiveMapState, batch: SampleBatch,
@@ -154,7 +176,7 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
     # the last 8-row group is reserved so dummy grid steps never touch a
     # live row (see ops/accumulate.py GROUP)
     usable_blocks = cb - accumulate.GROUP
-    s_bkey, s_okey, s_sd = batch.bkey, batch.okey, batch.sd
+    s_bkey, s_payload = batch.bkey, batch.payload
     total = s_bkey.shape[0]
     n_valid_samples = jnp.sum(s_bkey != INT32_MAX).astype(jnp.int32)
 
@@ -200,16 +222,15 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
     # ---- accumulate into the pool ----
     if _use_pallas(config):
         pad_i = jnp.zeros((accumulate.CHUNK,), jnp.int32)
-        pad_f = jnp.zeros((accumulate.CHUNK,), jnp.float32)
         groups = accumulate.group_touched_blocks(starts_c, lens, tb_slots,
                                                  t_cap, cb)
         pool_sd, pool_w = accumulate.accumulate_pallas(
             state.pool_sd, state.pool_w, *groups,
-            jnp.concatenate([s_okey, pad_i]),
-            jnp.concatenate([s_sd, pad_f]),
-            touched_capacity=t_cap)
+            jnp.concatenate([s_payload, pad_i]),
+            touched_capacity=t_cap, sd_scale=config.sdf_trunc / SD_QUANT)
     else:
         # per-sample slot via dense segment fill (no big searchsorted)
+        s_okey, s_sd = unpack_payload(s_payload, config.sdf_trunc)
         t_idx = jnp.cumsum(flags.astype(jnp.int32)) - 1
         t_idx_c = jnp.clip(t_idx, 0, t_cap - 1)
         slot_per_sample = tb_slots[t_idx_c]

@@ -248,24 +248,6 @@ class TSDFMap:
         return s
 
 
-def _rebuild_submap(levels: dag.NodeLevels, codes, words_t, words_w,
-                    positions) -> submap_mod.Submap:
-    if codes.shape[0] == 0:
-        root = submap_mod._add_empty_chain(levels)
-        return submap_mod.Submap(root, root, list(positions))
-    addr_t = levels.leaf_clusters.add_batch(words_t)
-    addr_w = levels.leaf_clusters.add_batch(words_w)
-    for depth in range(dag.MAX_DEPTH - 1, -1, -1):
-        parent = codes >> np.uint64(3)
-        child_i = (codes & np.uint64(7)).astype(np.int64)
-        startsb = np.concatenate([[True], parent[1:] != parent[:-1]])
-        group = np.cumsum(startsb) - 1
-        g = int(group[-1]) + 1 if group.size else 0
-        kids_t = np.zeros((g, 8), np.uint32)
-        kids_w = np.zeros((g, 8), np.uint32)
-        kids_t[group, child_i] = addr_t
-        kids_w[group, child_i] = addr_w
-        addr_t = levels.nodes[depth].add_batch(kids_t)
-        addr_w = levels.nodes[depth].add_batch(kids_w)
-        codes = parent[startsb]
-    return submap_mod.Submap(int(addr_t[0]), int(addr_w[0]), list(positions))
+# kept as an alias for tests and merge(): the canonical implementation
+# lives in core/submap.py
+_rebuild_submap = submap_mod.build_submap

@@ -67,15 +67,13 @@ def _extract_blocks(state: ActiveMapState, n_pad: int, sdf_trunc: float):
     return keys, q_sd, q_w, nonempty
 
 
-def finalize(state: ActiveMapState, levels: NodeLevels, config: MapConfig,
-             positions: list) -> Submap:
-    """Finalize the active map into a Submap, hash-consing into ``levels``."""
+def extract_clusters(state: ActiveMapState, config: MapConfig):
+    """Device quantization + host packing: active map -> sorted, unique
+    (cluster_codes u64, words_tsdf u64, words_weight u64, n_voxels)."""
     n_blocks = int(state.n_blocks)
     if n_blocks == 0:
-        # empty map: register an empty root chain so the submap is walkable
-        root_t = root_w = _add_empty_chain(levels)
-        return Submap(int(root_t), int(root_w), list(positions), 0, 0)
-
+        z = np.zeros(0, np.uint64)
+        return z, z.copy(), z.copy(), 0
     n_pad = max(1, 1 << (n_blocks - 1).bit_length())
     keys, q_sd, q_w, nonempty = jax.tree.map(
         np.asarray, _extract_blocks(state, n_pad, config.sdf_trunc))
@@ -95,9 +93,17 @@ def finalize(state: ActiveMapState, levels: NodeLevels, config: MapConfig,
     n_vox = int((q_sd.reshape(-1, 8)[sel] != codec.EMPTY).sum())
 
     order = np.argsort(codes, kind="stable")
-    codes, words_t, words_w = codes[order], words_t[order], words_w[order]
+    return codes[order], words_t[order], words_w[order], n_vox
 
-    # ---- bottom-up dual-DAG build (submap.hpp:31-60, sort-group form) ----
+
+def build_submap(levels: NodeLevels, codes, words_t, words_w, positions,
+                 n_voxels: int = 0) -> Submap:
+    """Bottom-up dual-DAG build from sorted unique leaf clusters
+    (submap.hpp:31-60 in sort-group form); hash-conses into ``levels``."""
+    if codes.shape[0] == 0:
+        root = _add_empty_chain(levels)
+        return Submap(root, root, list(positions), 0, 0)
+    n_clusters = codes.shape[0]
     addr_t = levels.leaf_clusters.add_batch(words_t)
     addr_w = levels.leaf_clusters.add_batch(words_w)
     for depth in range(MAX_DEPTH - 1, -1, -1):
@@ -115,7 +121,29 @@ def finalize(state: ActiveMapState, levels: NodeLevels, config: MapConfig,
         codes = parent[starts]
     assert codes.size == 1 and int(codes[0]) == 0
     return Submap(int(addr_t[0]), int(addr_w[0]), list(positions),
-                  n_clusters=int(sel.sum()), n_voxels=n_vox)
+                  n_clusters=n_clusters, n_voxels=n_voxels)
+
+
+def finalize(state: ActiveMapState, levels: NodeLevels, config: MapConfig,
+             positions: list) -> Submap:
+    """Finalize the active map into a Submap, hash-consing into ``levels``."""
+    codes, words_t, words_w, n_vox = extract_clusters(state, config)
+    return build_submap(levels, codes, words_t, words_w, positions, n_vox)
+
+
+def finalize_sharded(states: list, levels: NodeLevels, config: MapConfig,
+                     positions: list) -> Submap:
+    """Finalize a Morton-sharded active map (one state per shard, disjoint
+    key ranges) into a single Submap — the submap-merge step of SURVEY §5.8.
+    """
+    parts = [extract_clusters(st, config) for st in states]
+    codes = np.concatenate([p[0] for p in parts])
+    words_t = np.concatenate([p[1] for p in parts])
+    words_w = np.concatenate([p[2] for p in parts])
+    n_vox = sum(p[3] for p in parts)
+    order = np.argsort(codes, kind="stable")
+    return build_submap(levels, codes[order], words_t[order],
+                        words_w[order], positions, n_vox)
 
 
 def _add_empty_chain(levels: NodeLevels) -> int:

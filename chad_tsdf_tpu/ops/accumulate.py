@@ -4,18 +4,19 @@ Replaces the reference's hottest loop — per-voxel hashmap lookup + weighted
 mean update (reference: include/chad/detail/octree.hpp:153-163) — with a
 deterministic, scatter-free device pipeline:
 
-* samples arrive **sorted by block key** (single int32 sort);
+* samples arrive **sorted by block key** (single int32 sort) with a packed
+  int32 payload (offset << 16 | 16-bit quantized sd);
 * touched-block segments are described by (start, length, pool-slot)
   triples, re-sorted by slot and bucketed into *row groups* of 8 consecutive
   pool rows (Mosaic's sublane tiling makes 8 rows the minimum aligned DMA
   unit for a (Cb, 512) f32 array);
-* a Pallas kernel walks the groups (grid): DMA the 8-row window of both pool
-  planes into VMEM, then for each member block stream its samples from HBM
-  in aligned 1024-wide windows, expand intra-block offsets through an
-  on-the-fly one-hot and reduce on the MXU (``onehot(offset).T @ [sd, 1]``),
-  add the (512, 2) delta into the member's row, and DMA the window back.
-  Groups are disjoint row ranges, so the sequential grid has no
-  write-after-read hazards.
+* a Pallas kernel distributes the groups over a small static grid
+  (megacore-parallel: groups touch disjoint row windows); each grid step
+  loops over its strided share of groups: DMA the 8-row window of both pool
+  planes into VMEM, stream each member block's samples from HBM in aligned
+  1024-wide windows, expand offsets through an on-the-fly one-hot and
+  reduce on the MXU (``onehot(offset).T @ [sd, 1]``), add the (512, 2)
+  delta into the member's row, and DMA the window back.
 
 The pool is two (Cb, 512) planes (sd-sum and weight) — see
 core/state.ActiveMapState for why not (Cb, 512, 2).
@@ -41,6 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 CHUNK = 1024
 # pool rows per DMA group (f32 sublane tile height)
 GROUP = 8
+# static pallas grid size; groups are strided over it (keeps per-step grid
+# overhead off the critical path when only a few thousand groups are live)
+GRID_STEPS = 256
 
 
 def accumulate_xla(pool_sd, pool_w, slots_per_sample, offsets, sd, valid):
@@ -59,122 +63,135 @@ def accumulate_xla(pool_sd, pool_w, slots_per_sample, offsets, sd, valid):
     return new_sd, new_w
 
 
-def _accum_kernel(gstart_ref, glen_ref, grow_ref,      # scalar prefetch
-                  starts_ref, lens_ref, slots_ref,     # scalar prefetch
-                  off_hbm, sd_hbm, sd_pool_in, w_pool_in,   # ANY
+def _accum_kernel(sd_scale: float,
+                  ng_ref, gstart_ref, glen_ref, grow_ref,   # scalar prefetch
+                  starts_ref, lens_ref, slots_ref,          # scalar prefetch
+                  payload_hbm, sd_pool_in, w_pool_in,       # ANY
                   sd_pool_out, w_pool_out,                  # ANY (aliased)
-                  off_vmem, sd_vmem, rows_sd, rows_w, sem):
-    g = pl.program_id(0)
-    gstart = gstart_ref[g]
-    glen = glen_ref[g]
-    row_base = grow_ref[g] * GROUP
+                  pay_vmem, rows_sd, rows_w, sem):
+    step = pl.program_id(0)
+    n_groups = ng_ref[0]
+    # strided share of groups for this grid step
+    my_count = jnp.maximum((n_groups - step + GRID_STEPS - 1) // GRID_STEPS,
+                           0)
 
-    # fetch the 8-row window of both pool planes
-    cp_in1 = pltpu.make_async_copy(
-        sd_pool_in.at[pl.ds(row_base, GROUP), :], rows_sd, sem.at[0])
-    cp_in2 = pltpu.make_async_copy(
-        w_pool_in.at[pl.ds(row_base, GROUP), :], rows_w, sem.at[1])
-    cp_in1.start()
-    cp_in2.start()
-    cp_in1.wait()
-    cp_in2.wait()
+    def group_body(gi, _):
+        g = step + gi * GRID_STEPS
+        gstart = gstart_ref[g]
+        glen = glen_ref[g]
+        row_base = grow_ref[g] * GROUP
 
-    def member_body(i, _):
-        t = gstart + i
-        start = starts_ref[t]
-        length = lens_ref[t]
-        end = start + length
-        row = slots_ref[t] - row_base
+        cp_in1 = pltpu.make_async_copy(
+            sd_pool_in.at[pl.ds(row_base, GROUP), :], rows_sd, sem.at[0])
+        cp_in2 = pltpu.make_async_copy(
+            w_pool_in.at[pl.ds(row_base, GROUP), :], rows_w, sem.at[1])
+        cp_in1.start()
+        cp_in2.start()
+        cp_in1.wait()
+        cp_in2.wait()
 
-        first = start // CHUNK
-        nchunks = jnp.where(length > 0, (end - 1) // CHUNK - first + 1, 0)
+        def member_body(i, _):
+            t = gstart + i
+            start = starts_ref[t]
+            length = lens_ref[t]
+            end = start + length
+            row = slots_ref[t] - row_base
 
-        def chunk_body(c, acc):
-            base = pl.multiple_of((first + c) * CHUNK, CHUNK)
-            cp1 = pltpu.make_async_copy(off_hbm.at[pl.ds(base, CHUNK)],
-                                        off_vmem, sem.at[2])
-            cp2 = pltpu.make_async_copy(sd_hbm.at[pl.ds(base, CHUNK)],
-                                        sd_vmem, sem.at[3])
-            cp1.start()
-            cp2.start()
-            cp1.wait()
-            cp2.wait()
-            g_idx = base + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-            mask = ((g_idx >= start) & (g_idx < end)).astype(jnp.float32)
-            off = off_vmem[...].reshape(CHUNK, 1)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 512), 1)
-            onehot = jnp.where(off == cols, 1.0, 0.0) * mask   # (CHUNK, 512)
-            sdv = sd_vmem[...].reshape(CHUNK, 1) * mask
-            vals = jnp.concatenate([sdv, mask], axis=-1)       # (CHUNK, 2)
-            return acc + jnp.dot(onehot.T, vals,
-                                 preferred_element_type=jnp.float32)
+            first = start // CHUNK
+            nchunks = jnp.where(length > 0,
+                                (end - 1) // CHUNK - first + 1, 0)
 
-        acc = jax.lax.fori_loop(0, nchunks, chunk_body,
-                                jnp.zeros((512, 2), jnp.float32))
-        # add into the member's row without dynamic indexing
-        rowsel = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) ==
-                  row).astype(jnp.float32)                     # (8, 1)
-        rows_sd[...] += rowsel * acc[:, 0][None, :]
-        rows_w[...] += rowsel * acc[:, 1][None, :]
+            def chunk_body(c, acc):
+                base = pl.multiple_of((first + c) * CHUNK, CHUNK)
+                cp = pltpu.make_async_copy(
+                    payload_hbm.at[pl.ds(base, CHUNK)], pay_vmem, sem.at[2])
+                cp.start()
+                cp.wait()
+                g_idx = base + jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, 1), 0)
+                mask = ((g_idx >= start) & (g_idx < end)).astype(jnp.float32)
+                p = pay_vmem[...].reshape(CHUNK, 1)
+                off = (p >> 16) & 0x1FF
+                sdv = ((p << 16) >> 16).astype(jnp.float32) * sd_scale
+                cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 512), 1)
+                onehot = jnp.where(off == cols, 1.0, 0.0) * mask
+                vals = jnp.concatenate([sdv * mask, mask], axis=-1)
+                return acc + jnp.dot(onehot.T, vals,
+                                     preferred_element_type=jnp.float32)
+
+            acc = jax.lax.fori_loop(0, nchunks, chunk_body,
+                                    jnp.zeros((512, 2), jnp.float32))
+            rowsel = (jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0) ==
+                      row).astype(jnp.float32)
+            rows_sd[...] += rowsel * acc[:, 0][None, :]
+            rows_w[...] += rowsel * acc[:, 1][None, :]
+            return 0
+
+        jax.lax.fori_loop(0, glen, member_body, 0)
+
+        cp_out1 = pltpu.make_async_copy(
+            rows_sd, sd_pool_out.at[pl.ds(row_base, GROUP), :], sem.at[0])
+        cp_out2 = pltpu.make_async_copy(
+            rows_w, w_pool_out.at[pl.ds(row_base, GROUP), :], sem.at[1])
+        cp_out1.start()
+        cp_out2.start()
+        cp_out1.wait()
+        cp_out2.wait()
         return 0
 
-    jax.lax.fori_loop(0, glen, member_body, 0)
-
-    cp_out1 = pltpu.make_async_copy(
-        rows_sd, sd_pool_out.at[pl.ds(row_base, GROUP), :], sem.at[0])
-    cp_out2 = pltpu.make_async_copy(
-        rows_w, w_pool_out.at[pl.ds(row_base, GROUP), :], sem.at[1])
-    cp_out1.start()
-    cp_out2.start()
-    cp_out1.wait()
-    cp_out2.wait()
+    jax.lax.fori_loop(0, my_count, group_body, 0)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("touched_capacity", "interpret"))
-def accumulate_pallas(pool_sd, pool_w, gstart, glen, grow,
-                      starts, lens, slots, offsets, sd,
-                      touched_capacity: int, interpret: bool = False):
+                   static_argnames=("touched_capacity", "sd_scale",
+                                    "interpret"))
+def accumulate_pallas(pool_sd, pool_w, n_groups, gstart, glen, grow,
+                      starts, lens, slots, payload,
+                      touched_capacity: int, sd_scale: float,
+                      interpret: bool = False):
     """TPU path: per-row-group MXU accumulation.
 
-    pool_sd/pool_w: f32[Cb, 512].  gstart/glen/grow: i32[T] row-group table
-    (see group_touched_blocks).  starts/lens/slots: i32[T] touched-block
-    segments SORTED BY SLOT.  offsets: i32[S+pad]; sd: f32[S+pad] — sample
-    arrays padded by at least CHUNK so the final aligned window stays in
-    bounds.
+    pool_sd/pool_w: f32[Cb, 512].  n_groups: i32[1]; gstart/glen/grow:
+    i32[T] row-group table (see group_touched_blocks).  starts/lens/slots:
+    i32[T] touched-block segments SORTED BY SLOT.  payload: i32[S+pad]
+    packed samples, padded by at least CHUNK.
     """
     t_cap = touched_capacity
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(t_cap,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        num_scalar_prefetch=7,
+        grid=(GRID_STEPS,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=[
             pltpu.VMEM((CHUNK,), jnp.int32),
-            pltpu.VMEM((CHUNK,), jnp.float32),
             pltpu.VMEM((GROUP, 512), jnp.float32),
             pltpu.VMEM((GROUP, 512), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
-        _accum_kernel,
+        functools.partial(_accum_kernel, sd_scale),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(pool_sd.shape, pool_sd.dtype),
             jax.ShapeDtypeStruct(pool_w.shape, pool_w.dtype),
         ],
-        input_output_aliases={8: 0, 9: 1},  # pools (after 6 scalars + 2 hbm)
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={8: 0, 9: 1},  # pools (after 7 scalars + 1 hbm)
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
-    )(gstart, glen, grow, starts, lens, slots, offsets, sd, pool_sd, pool_w)
+    )(n_groups, gstart, glen, grow, starts, lens, slots, payload,
+      pool_sd, pool_w)
 
 
 def group_touched_blocks(starts, lens, slots, t_cap: int, cb: int):
     """Sort touched blocks by pool slot and bucket into 8-row groups.
 
-    Returns (gstart, glen, grow, starts_s, lens_s, slots_s) — all i32[T].
-    Dummy groups point at the reserved last 8 pool rows with zero length.
+    Returns (n_groups i32[1], gstart, glen, grow, starts_s, lens_s,
+    slots_s) — the latter all i32[T].  Dummy groups point at the reserved
+    last 8 pool rows with zero length.
     """
     from . import segops
 
@@ -182,7 +199,9 @@ def group_touched_blocks(starts, lens, slots, t_cap: int, cb: int):
     slots_s, starts_s, lens_s = jax.lax.sort((slots, starts, lens),
                                              num_keys=1)
     gkey = slots_s // GROUP
-    flags = segops.boundary_flags(gkey)
+    # entries for the reserved group (dummy/overflow slots) are excluded so
+    # n_groups counts only live groups
+    flags = segops.boundary_flags(gkey) & (gkey != reserved_group)
     pos, g_count, _ = segops.compact_flag_positions(flags, t_cap)
     gvalid = jnp.arange(t_cap, dtype=jnp.int32) < g_count
     pos_c = jnp.minimum(pos, t_cap - 1)
@@ -191,4 +210,5 @@ def group_touched_blocks(starts, lens, slots, t_cap: int, cb: int):
     glen = jnp.where(gvalid, jnp.minimum(nxt, t_cap) - pos_c, 0)
     grow = jnp.where(gvalid, gkey[pos_c], reserved_group)
     grow = jnp.minimum(grow, reserved_group)
-    return gstart, glen, grow, starts_s, lens_s, slots_s
+    return (g_count.reshape(1), gstart, glen, grow, starts_s, lens_s,
+            slots_s)

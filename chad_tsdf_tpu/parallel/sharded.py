@@ -159,11 +159,10 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
         batch = integrate.sort_samples(batch)
 
         # ---- round 2: halo exchange of ray samples ----
-        sk, (sok,), (ssd,), s_route_ovf = _route_by_key(
-            batch.bkey, [batch.okey], [batch.sd], bounds, route_capacity,
-            axis)
+        sk, (spay,), _, s_route_ovf = _route_by_key(
+            batch.bkey, [batch.payload], [], bounds, route_capacity, axis)
         batch = integrate.sort_samples(integrate.SampleBatch(
-            sk, sok, ssd, batch.pt_overflow, batch.samp_overflow))
+            sk, spay, batch.pt_overflow, batch.samp_overflow))
 
         state, metrics = integrate.update_pool(state, batch, config)
         metrics["point_route_overflow"] = pt_route_ovf

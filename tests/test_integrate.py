@@ -158,16 +158,20 @@ def test_determinism():
 def test_pallas_interpret_matches_xla():
     """Differential test: the Pallas accumulate kernel (interpret mode on
     CPU) must produce bit-identical pools to the XLA scatter path."""
+    from chad_tsdf_tpu.core.integrate import pack_payload, unpack_payload
     from chad_tsdf_tpu.ops import accumulate as acc_mod
 
     rng = np.random.default_rng(9)
     cb, t_cap, s_n = 64, 32, 4096
+    trunc = 0.1
     pool_sd = jnp.zeros((cb, 512), jnp.float32)
     pool_w = jnp.zeros((cb, 512), jnp.float32)
     # sorted-by-block synthetic samples over <32 blocks, slots scattered
     blocks = np.sort(rng.integers(0, 30, s_n))
-    offs = rng.integers(0, 512, s_n)
-    sd = rng.normal(size=s_n).astype(np.float32)
+    offs = jnp.asarray(rng.integers(0, 512, s_n), jnp.int32)
+    sd_raw = jnp.asarray(rng.uniform(-trunc, trunc, s_n), jnp.float32)
+    payload = pack_payload(offs, sd_raw, trunc)
+    okey, sd = unpack_payload(payload, trunc)   # both paths see these
     uniq = np.unique(blocks)
     slot_of = {b: int(s) for b, s in
                zip(uniq, rng.permutation(cb - acc_mod.GROUP)[:len(uniq)])}
@@ -186,17 +190,15 @@ def test_pallas_interpret_matches_xla():
     for b in uniq:
         slot_per_sample[blocks == b] = slot_of[b]
     ref_sd, ref_w = acc_mod.accumulate_xla(
-        pool_sd, pool_w, jnp.asarray(slot_per_sample),
-        jnp.asarray(offs, jnp.int32), jnp.asarray(sd), jnp.ones(s_n, bool))
+        pool_sd, pool_w, jnp.asarray(slot_per_sample), okey, sd,
+        jnp.ones(s_n, bool))
 
     groups = acc_mod.group_touched_blocks(starts, lens, slots, t_cap, cb)
     got_sd, got_w = acc_mod.accumulate_pallas(
         pool_sd, pool_w, *groups,
-        jnp.concatenate([jnp.asarray(offs, jnp.int32),
-                         jnp.zeros(acc_mod.CHUNK, jnp.int32)]),
-        jnp.concatenate([jnp.asarray(sd),
-                         jnp.zeros(acc_mod.CHUNK, jnp.float32)]),
-        touched_capacity=t_cap, interpret=True)
+        jnp.concatenate([payload, jnp.zeros(acc_mod.CHUNK, jnp.int32)]),
+        touched_capacity=t_cap,
+        sd_scale=trunc / 32767.0, interpret=True)
     np.testing.assert_allclose(np.asarray(got_sd), np.asarray(ref_sd),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),

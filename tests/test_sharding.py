@@ -131,3 +131,47 @@ def test_sharded_determinism():
     s2, _ = step(create_sharded_state(CFG, mesh, origin), jnp.asarray(pts),
                  jnp.asarray(n_per), jnp.asarray(pos))
     np.testing.assert_array_equal(np.asarray(s1.pool_sd), np.asarray(s2.pool_sd))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_finalize_matches_single_device():
+    """finalize_sharded over per-shard states == single-device finalize."""
+    from chad_tsdf_tpu.core import submap as submap_mod
+    from chad_tsdf_tpu.core.dag import NodeLevels
+
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    pos = np.zeros(3, np.float32)
+    origin = origin_blocks_for_position(pos, CFG)
+    pts = sphere_points(n_dev * CFG.max_points, seed=11)
+    state_stack = create_sharded_state(CFG, mesh, origin)
+    step, _ = make_sharded_insert(
+        CFG, mesh, route_capacity=CFG.max_points * CFG.dda_steps,
+        point_route_slack=8.0)
+    n_per = np.full((n_dev,), CFG.max_points, np.int32)
+    state_stack, _ = step(state_stack, jnp.asarray(pts), jnp.asarray(n_per),
+                          jnp.asarray(pos))
+
+    levels = NodeLevels(use_native=False)
+    sm = submap_mod.finalize_sharded(gather_states(state_stack), levels,
+                                     CFG, [pos])
+    codes_sh, words_sh = levels.walk_leaf_clusters(sm.root_addr_tsdf)
+
+    # single-device oracle
+    sd_cfg = MapConfig(**{**CFG.__dict__,
+                          "max_points": n_dev * CFG.max_points,
+                          "block_capacity": 16384,
+                          "touched_capacity": 8192})
+    ref_state = create_state(sd_cfg, origin)
+    ref_state, _ = integrate.insert_step(
+        ref_state, jnp.asarray(pts), jnp.int32(len(pts)), jnp.asarray(pos),
+        sd_cfg)
+    levels2 = NodeLevels(use_native=False)
+    sm2 = submap_mod.finalize(ref_state, levels2, sd_cfg, [pos])
+    codes_sd, words_sd = levels2.walk_leaf_clusters(sm2.root_addr_tsdf)
+
+    np.testing.assert_array_equal(codes_sh, codes_sd)
+    # words may differ in the last quantization bit where normals differ at
+    # shard boundaries; compare decoded values loosely and exact >=99%
+    same = (words_sh == words_sd).mean()
+    assert same > 0.97, same
