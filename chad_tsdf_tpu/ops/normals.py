@@ -114,10 +114,11 @@ def estimate_normals_soa(px, py, pz, block_keys, offsets, valid, position,
     coarse_key = offsets >> (3 * (max_depth - 1))
     coarse_flags = segops.boundary_flags((block_keys, coarse_key)) | \
         segops.boundary_flags(valid)
-    anchor_pos = segops.segment_start_positions(coarse_flags)
-    rx = px - px[anchor_pos]
-    ry = py - py[anchor_pos]
-    rz = pz - pz[anchor_pos]
+    anchors = segops.segment_broadcast_first(
+        coarse_flags, jnp.stack([px, py, pz], axis=0))
+    rx = px - anchors[0]
+    ry = py - anchors[1]
+    rz = pz - anchors[2]
 
     feats = jnp.stack([
         jnp.ones((n,), jnp.float32), rx, ry, rz,
@@ -132,8 +133,7 @@ def estimate_normals_soa(px, py, pz, block_keys, offsets, valid, position,
         flags = segops.boundary_flags((block_keys, key_d)) | \
             segops.boundary_flags(valid)
         run = segops.segmented_sum_scan(flags, feats)     # (10, N)
-        end = segops.segment_end_positions(flags)
-        seg = run[:, jnp.clip(end - 1, 0, n - 1)]         # (10, N)
+        seg = segops.segment_broadcast_last(flags, run)   # gather-free
         cnt = seg[0]
         ok = (~found) & (cnt >= float(min_points))
         best = jnp.where(ok[None, :], seg, best)

@@ -38,7 +38,7 @@ def segment_start_positions(flags: jnp.ndarray) -> jnp.ndarray:
     of max over flag positions)."""
     n = flags.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    return jax.lax.associative_scan(jnp.maximum, jnp.where(flags, idx, 0))
+    return jax.lax.cummax(jnp.where(flags, idx, 0))
 
 
 def segment_end_positions(flags: jnp.ndarray) -> jnp.ndarray:
@@ -48,7 +48,13 @@ def segment_end_positions(flags: jnp.ndarray) -> jnp.ndarray:
     nxt = jnp.where(flags, idx, n)
     # next segment start strictly after i = suffix-min of nxt shifted left
     shifted = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
-    return jax.lax.associative_scan(jnp.minimum, shifted[::-1])[::-1]
+    return jax.lax.cummin(shifted, reverse=True)
+
+
+def _shift_right(x: jnp.ndarray, d: int, fill):
+    """Shift along the last axis by d, filling with ``fill``."""
+    pad = jnp.full(x.shape[:-1] + (d,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-d]], axis=-1)
 
 
 def segmented_sum_scan(flags: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
@@ -59,20 +65,59 @@ def segmented_sum_scan(flags: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     128 lanes).  ``flags`` is (N,) boolean.  The value at a segment's last
     element is the exact per-segment sum, accumulated only within the
     segment (numerically superior to cumsum-difference).
+
+    Implemented as explicit Hillis-Steele shift/combine rounds: an
+    equivalent ``lax.associative_scan`` with a tuple operator takes minutes
+    to compile through the TPU toolchain; the unrolled form compiles fast
+    and runs at memory bandwidth.
     """
-    axis = values.ndim - 1
-    if values.ndim > 1:
-        f = jnp.broadcast_to(flags[None, :], values.shape)
-    else:
-        f = flags
+    n = flags.shape[0]
+    f = flags
+    v = values
+    d = 1
+    while d < n:
+        fprev = jnp.concatenate([jnp.ones((d,), jnp.bool_), f[:-d]])
+        vprev = _shift_right(v, d, 0)
+        mask = f if v.ndim == 1 else f[None, :]
+        v = jnp.where(mask, v, v + vprev)
+        f = f | fprev
+        d *= 2
+    return v
 
-    def combine(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va + vb)
 
-    _, out = jax.lax.associative_scan(combine, (f, values), axis=axis)
-    return out
+def _last_valid_scan(has: jnp.ndarray, values: jnp.ndarray):
+    """Forward scan along the last axis carrying the most recent value at a
+    set ``has`` position (Hillis-Steele form; has is 1-D (N,))."""
+    n = has.shape[0]
+    h = has
+    v = values
+    d = 1
+    while d < n:
+        hprev = jnp.concatenate([jnp.zeros((d,), jnp.bool_), h[:-d]])
+        vprev = _shift_right(v, d, 0)
+        mask = h if v.ndim == 1 else h[None, :]
+        v = jnp.where(mask, v, vprev)
+        h = h | hprev
+        d *= 2
+    return v
+
+
+def segment_broadcast_first(flags: jnp.ndarray, values: jnp.ndarray):
+    """Each element receives ``values`` at its segment's FIRST element.
+
+    values: (N,) or feature-major (F, N); flags: (N,) segment-start flags.
+    Gather-free (one associative scan) — on TPU a 1M-element column gather
+    costs far more than a scan pass.
+    """
+    return _last_valid_scan(flags, values)
+
+
+def segment_broadcast_last(flags: jnp.ndarray, values: jnp.ndarray):
+    """Each element receives ``values`` at its segment's LAST element."""
+    is_end = jnp.concatenate([flags[1:], jnp.ones((1,), jnp.bool_)])
+    rev = _last_valid_scan(jnp.flip(is_end, axis=-1),
+                           jnp.flip(values, axis=-1))
+    return jnp.flip(rev, axis=-1)
 
 
 def compact_flag_positions(flags: jnp.ndarray, capacity: int):
