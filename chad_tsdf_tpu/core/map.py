@@ -150,12 +150,21 @@ class TSDFMap:
         keep = codes.shape[0] - 1 - idx
         return codes[keep], sd[keep]
 
-    def extract_mesh(self):
+    def extract_mesh(self, optimize_iterations: int = 0):
+        """Marching-cubes mesh of the map.
+
+        ``optimize_iterations > 0`` runs contour smoothing analogous to the
+        reference's LVR2 ``optimizePlanarFaces(mesh, 5)`` (lvr2.cpp:262-266).
+        """
         submaps = self._all_submaps()
         if self.config.mesh_first_submap_only and submaps:
             submaps = submaps[:1]   # reference parity (tsdf.cpp:85)
         codes, sd = self.voxel_samples(submaps)
-        return marching_cubes(codes, sd, self.config.sdf_res)
+        mesh = marching_cubes(codes, sd, self.config.sdf_res)
+        if optimize_iterations > 0:
+            from ..mesh.optimize import taubin_smooth
+            mesh = taubin_smooth(mesh, optimize_iterations)
+        return mesh
 
     def save(self, filename: str) -> None:
         """Reconstruct the mesh and write it to ``filename`` (tsdf.cpp:76-86).

@@ -112,12 +112,29 @@ def segment_broadcast_first(flags: jnp.ndarray, values: jnp.ndarray):
     return _last_valid_scan(flags, values)
 
 
+def _shift_left(x: jnp.ndarray, d: int, fill):
+    pad = jnp.full(x.shape[:-1] + (d,), fill, x.dtype)
+    return jnp.concatenate([x[..., d:], pad], axis=-1)
+
+
 def segment_broadcast_last(flags: jnp.ndarray, values: jnp.ndarray):
-    """Each element receives ``values`` at its segment's LAST element."""
-    is_end = jnp.concatenate([flags[1:], jnp.ones((1,), jnp.bool_)])
-    rev = _last_valid_scan(jnp.flip(is_end, axis=-1),
-                           jnp.flip(values, axis=-1))
-    return jnp.flip(rev, axis=-1)
+    """Each element receives ``values`` at its segment's LAST element.
+
+    Backward next-valid scan in shift-left form — no array reversal (a flip
+    of a (10, N) array costs a full memory pass on TPU).
+    """
+    n = flags.shape[0]
+    h = jnp.concatenate([flags[1:], jnp.ones((1,), jnp.bool_)])  # is_end
+    v = values
+    d = 1
+    while d < n:
+        hnext = _shift_left(h, d, False)
+        vnext = _shift_left(v, d, 0)
+        mask = h if v.ndim == 1 else h[None, :]
+        v = jnp.where(mask, v, vnext)
+        h = h | hnext
+        d *= 2
+    return v
 
 
 def compact_flag_positions(flags: jnp.ndarray, capacity: int):

@@ -199,7 +199,9 @@ def test_pallas_interpret_matches_xla():
         jnp.concatenate([payload, jnp.zeros(acc_mod.CHUNK, jnp.int32)]),
         touched_capacity=t_cap,
         sd_scale=trunc / 32767.0, interpret=True)
-    np.testing.assert_allclose(np.asarray(got_sd), np.asarray(ref_sd),
-                               rtol=1e-6, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
-                               rtol=1e-6, atol=1e-6)
+    # the kernel's one-hot matmul runs in bf16 (counts exact; sd rounds to
+    # ~0.4% of trunc per sample, below the 8-bit output codec granularity)
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(ref_w))
+    err = np.abs(np.asarray(got_sd) - np.asarray(ref_sd))
+    per = err / np.maximum(np.asarray(ref_w), 1)     # error per sample
+    assert per.max() < 1e-3, per.max()

@@ -122,3 +122,25 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.faces, mesh.faces)
     np.testing.assert_allclose(back.vertex_normals, mesh.vertex_normals,
                                rtol=1e-6)
+
+
+def test_taubin_smoothing_improves_noisy_sphere():
+    """Contour smoothing (reference parity: optimizePlanarFaces,
+    lvr2.cpp:262-266) must reduce quantization staircase noise without
+    shrinking the surface."""
+    import jax.numpy as jnp
+    from chad_tsdf_tpu.mesh.optimize import taubin_smooth
+    from chad_tsdf_tpu.ops import codec
+
+    codes, sd = _sphere_samples(2.0, 0.05)
+    # 8-bit quantization noise like a real finalized submap
+    sd_q = np.asarray(codec.decode_sd(
+        jnp, codec.encode_sd(jnp, jnp.asarray(sd), 0.1), 0.1))
+    mesh = marching_cubes(codes, sd_q, 0.05)
+    sm = taubin_smooth(mesh, 5)
+    assert sm.n_vertices == mesh.n_vertices
+    assert sm.n_faces == mesh.n_faces
+    r0 = np.linalg.norm(mesh.vertices, axis=1)
+    r1 = np.linalg.norm(sm.vertices, axis=1)
+    assert abs(r1.mean() - r0.mean()) < 0.005   # no shrink/inflate
+    assert r1.std() < r0.std()                  # staircase noise reduced
