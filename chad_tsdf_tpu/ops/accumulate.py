@@ -142,20 +142,23 @@ def _accum_kernel(sd_scale: float,
                                       lambda: pay1[...])
                 # bf16 one-hot with f32 accumulation: the one-hot entries
                 # (0/1) and the mask are exact in bf16; sd rounds to ~0.4%
-                # of trunc, far below the 8-bit output codec's trunc/127
+                # of trunc, far below the 8-bit output codec's trunc/127.
+                # All compares/selects stay in 32-bit (8,128) layouts; the
+                # only bf16 op is the final f32->bf16 pack (Mosaic cannot
+                # relayout an i1 vector from (8,128) to (16,128) directly).
                 for s in range(CHUNK // SUB):
                     p = window[s * SUB:(s + 1) * SUB].reshape(SUB, 1)
                     g_idx = (base + s * SUB) + jax.lax.broadcasted_iota(
                         jnp.int32, (SUB, 1), 0)
-                    mask = ((g_idx >= start) &
-                            (g_idx < end)).astype(jnp.bfloat16)
+                    maskf = ((g_idx >= start) &
+                             (g_idx < end)).astype(jnp.float32)
                     off = (p >> 16) & 0x1FF
-                    sdv = (((p << 16) >> 16).astype(jnp.float32) *
-                           sd_scale).astype(jnp.bfloat16)
+                    sdv = ((p << 16) >> 16).astype(jnp.float32) * sd_scale
                     cols = jax.lax.broadcasted_iota(jnp.int32, (SUB, 512), 1)
-                    onehot = jnp.where(off == cols, jnp.bfloat16(1.0),
-                                       jnp.bfloat16(0.0)) * mask
-                    vals = jnp.concatenate([sdv * mask, mask], axis=-1)
+                    onehot = ((off == cols).astype(jnp.float32) *
+                              maskf).astype(jnp.bfloat16)
+                    vals = jnp.concatenate(
+                        [sdv * maskf, maskf], axis=-1).astype(jnp.bfloat16)
                     acc = acc + jnp.dot(onehot.T, vals,
                                         preferred_element_type=jnp.float32)
                 return acc
