@@ -56,8 +56,16 @@ class MapConfig:
     save_grid: bool = False
 
     # --- execution ---
-    # 'auto' -> pallas on TPU, XLA scatter elsewhere; or 'pallas' / 'xla'
+    # 'auto' -> 'tile' on TPU (sort-free per-tile Pallas accumulation),
+    # XLA scatter elsewhere; or force 'tile' / 'pallas' (global-sort +
+    # segment kernel) / 'xla'
     accumulate_impl: str = "auto"
+    # distinct-block-list capacity per 1024-point stage-A tile (see
+    # ops/tile_accum.py); samples beyond it take the sort fallback and are
+    # counted in tile_overflow.  48 clears the canonical 1M-point sphere's
+    # worst tile (~35 distinct blocks) with margin; measured on TPU v5e,
+    # 48 -> 87 ms / 64 -> 93 ms per 1M-point insert.
+    tile_nb: int = 48
     # print per-stage wall times like the reference's fmt timers
     # (morton.hpp:78,100, normals.hpp:146, octree.hpp:169, tsdf.cpp:74)
     profile: bool = False
@@ -95,5 +103,9 @@ class MapConfig:
             raise ValueError("sdf_res and sdf_trunc must be positive")
         if 3 * self.block_bits > 31:
             raise ValueError("block_bits too large for int32 Morton keys")
-        if self.accumulate_impl not in ("auto", "pallas", "xla"):
+        if self.accumulate_impl not in ("auto", "tile", "pallas", "xla"):
             raise ValueError(f"bad accumulate_impl {self.accumulate_impl!r}")
+        if self.accumulate_impl == "tile" and self.max_points % 1024 != 0:
+            raise ValueError("tile accumulation needs max_points % 1024 == 0")
+        if self.tile_nb % 8 != 0 or self.tile_nb < 8:
+            raise ValueError("tile_nb must be a positive multiple of 8")

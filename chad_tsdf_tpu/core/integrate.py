@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import MapConfig
-from ..ops import accumulate, dda, morton, normals, segops
+from ..ops import accumulate, dda, morton, normals, segops, tile_accum
 from .state import INT32_MAX, ActiveMapState
 
 
@@ -101,22 +101,22 @@ def sort_points(points, bkey, okey):
     return points[perm], sb, so
 
 
-def samples_from_sorted_points(pts, sb, so, position, origin_blocks,
-                               config: MapConfig,
-                               pt_overflow=None) -> SampleBatch:
-    """Normals + DDA over Morton-sorted points -> flat sample triples.
+def compute_sample_grids(pts, sb, so, position, origin_blocks,
+                         config: MapConfig):
+    """Normals + DDA over Morton-sorted points -> (K, N) sample grids.
 
     Internally structure-of-arrays: per-axis (N,) and (K, N) arrays keep the
     big axis on TPU lanes (an (N, 3)/(N, K) layout pads the minor dim to 128
     lanes — ~7x slower measured).
+
+    Returns (s_bkey, s_okey, sd, n_valid, samp_overflow) with s_bkey/s_okey
+    i32[K, N] (INT32_MAX key = invalid slot), sd f32[K, N].
     """
     k = config.dda_steps
     res, trunc = config.sdf_res, config.sdf_trunc
     extent = config.blocks_per_axis * 8
     origin_voxel = origin_blocks * 8
     valid_sorted = sb != INT32_MAX
-    if pt_overflow is None:
-        pt_overflow = jnp.zeros((), jnp.int32)
     px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
 
     # ---- normals (tsdf.cpp:67) ----
@@ -142,10 +142,24 @@ def samples_from_sorted_points(pts, sb, so, position, origin_blocks,
 
     s_bkey = morton.encode_block(lx >> 3, ly >> 3, lz >> 3)
     s_okey = morton.encode_offset(lx & 7, ly & 7, lz & 7)
-    payload = pack_payload(s_okey, sd, trunc)
-    s_bkey = jnp.where(vvalid, s_bkey, INT32_MAX).reshape(-1)
-    payload = jnp.where(vvalid, payload, 0).reshape(-1)
-    return SampleBatch(s_bkey, payload, pt_overflow, samp_overflow)
+    s_bkey = jnp.where(vvalid, s_bkey, INT32_MAX)
+    s_okey = jnp.where(vvalid, s_okey, 0)
+    n_valid = jnp.sum(vvalid).astype(jnp.int32)
+    return s_bkey, s_okey, sd, n_valid, samp_overflow
+
+
+def samples_from_sorted_points(pts, sb, so, position, origin_blocks,
+                               config: MapConfig,
+                               pt_overflow=None) -> SampleBatch:
+    """Flat packed sample triples (legacy sort-based path)."""
+    if pt_overflow is None:
+        pt_overflow = jnp.zeros((), jnp.int32)
+    s_bkey, s_okey, sd, _, samp_overflow = compute_sample_grids(
+        pts, sb, so, position, origin_blocks, config)
+    payload = pack_payload(s_okey, sd, config.sdf_trunc)
+    payload = jnp.where(s_bkey != INT32_MAX, payload, 0)
+    return SampleBatch(s_bkey.reshape(-1), payload.reshape(-1),
+                       pt_overflow, samp_overflow)
 
 
 def compute_samples(points, n_points, position, origin_blocks,
@@ -163,6 +177,47 @@ def sort_samples(batch: SampleBatch) -> SampleBatch:
     return SampleBatch(b, p, batch.pt_overflow, batch.samp_overflow)
 
 
+def _directory_update(state: ActiveMapState, tb_keys, tvalid,
+                      config: MapConfig):
+    """Look up touched-block keys in the sorted directory, allocate pool
+    slots for new blocks, and rebuild the directory (tsdf/octree alloc,
+    reference octree.hpp:31-78, without the hashmap).
+
+    Returns (dir_keys, dir_slots, n_blocks, tb_slots, n_new,
+    block_overflow); overflowed/invalid entries get the reserved slot
+    ``cb - 1``.
+    """
+    cb = config.block_capacity
+    reserved_row = cb - 1          # dummy row for the Pallas kernels
+    # the last 8-row group is reserved so dummy grid steps never touch a
+    # live row (see ops/accumulate.py GROUP)
+    usable_blocks = cb - accumulate.GROUP
+
+    pos = jnp.searchsorted(state.dir_keys, tb_keys).astype(jnp.int32)
+    pos_c = jnp.minimum(pos, cb - 1)
+    found = (state.dir_keys[pos_c] == tb_keys) & tvalid
+    is_new = tvalid & ~found
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32))
+    n_new = new_rank[-1]
+    slot_if_new = state.n_blocks + new_rank - 1
+    fits = slot_if_new < usable_blocks
+    block_overflow = jnp.sum(is_new & ~fits).astype(jnp.int32)
+    tb_slots = jnp.where(found, state.dir_slots[pos_c],
+                         jnp.where(fits, slot_if_new, reserved_row))
+    tb_slots = jnp.where(tvalid, tb_slots, reserved_row)
+
+    # rebuild the sorted directory by merging the new keys
+    append_keys = jnp.where(is_new & fits, tb_keys, INT32_MAX)
+    append_slots = jnp.where(is_new & fits, slot_if_new, 0)
+    mk = jnp.concatenate([state.dir_keys, append_keys])
+    ms = jnp.concatenate([state.dir_slots, append_slots])
+    mk, ms = jax.lax.sort((mk, ms), num_keys=1)
+    dir_keys = mk[:cb]
+    dir_slots = ms[:cb]
+    n_blocks = jnp.minimum(state.n_blocks + n_new, usable_blocks)
+    return (dir_keys, dir_slots, n_blocks, tb_slots, n_new, block_overflow)
+
+
 def update_pool(state: ActiveMapState, batch: SampleBatch,
                 config: MapConfig):
     """Touched-block segmentation, directory merge, pool accumulation.
@@ -172,10 +227,7 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
     """
     cb = config.block_capacity
     t_cap = config.touched_capacity
-    reserved_row = cb - 1          # dummy row for the Pallas kernel
-    # the last 8-row group is reserved so dummy grid steps never touch a
-    # live row (see ops/accumulate.py GROUP)
-    usable_blocks = cb - accumulate.GROUP
+    reserved_row = cb - 1
     s_bkey, s_payload = batch.bkey, batch.payload
     total = s_bkey.shape[0]
     n_valid_samples = jnp.sum(s_bkey != INT32_MAX).astype(jnp.int32)
@@ -193,31 +245,10 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
     lens = jnp.where(tvalid, jnp.maximum(ends - starts, 0), 0)
     tb_keys = jnp.where(tvalid, s_bkey[starts_c], INT32_MAX)
 
-    # ---- directory lookup + allocation of new blocks ----
-    pos = jnp.searchsorted(state.dir_keys, tb_keys).astype(jnp.int32)
-    pos_c = jnp.minimum(pos, cb - 1)
-    found = (state.dir_keys[pos_c] == tb_keys) & tvalid
-    is_new = tvalid & ~found
-    new_rank = jnp.cumsum(is_new.astype(jnp.int32))
-    n_new = new_rank[-1]
-    slot_if_new = state.n_blocks + new_rank - 1
-    fits = slot_if_new < usable_blocks
-    block_overflow = jnp.sum(is_new & ~fits).astype(jnp.int32)
-    tb_slots = jnp.where(found, state.dir_slots[pos_c],
-                         jnp.where(fits, slot_if_new, reserved_row))
-    tb_slots = jnp.where(tvalid, tb_slots, reserved_row)
+    (dir_keys, dir_slots, n_blocks, tb_slots, n_new,
+     block_overflow) = _directory_update(state, tb_keys, tvalid, config)
     # drop samples of overflowed blocks
     lens = jnp.where(tb_slots == reserved_row, 0, lens)
-
-    # rebuild the sorted directory by merging the new keys
-    append_keys = jnp.where(is_new & fits, tb_keys, INT32_MAX)
-    append_slots = jnp.where(is_new & fits, slot_if_new, 0)
-    mk = jnp.concatenate([state.dir_keys, append_keys])
-    ms = jnp.concatenate([state.dir_slots, append_slots])
-    mk, ms = jax.lax.sort((mk, ms), num_keys=1)
-    dir_keys = mk[:cb]
-    dir_slots = ms[:cb]
-    n_blocks = jnp.minimum(state.n_blocks + n_new, usable_blocks)
 
     # ---- accumulate into the pool ----
     if _use_pallas(config):
@@ -247,6 +278,78 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
         sample_overflow=state.sample_overflow + batch.samp_overflow,
         block_overflow=state.block_overflow + block_overflow,
         touched_overflow=state.touched_overflow + touched_overflow,
+        tile_overflow=state.tile_overflow,
+    )
+    metrics = {
+        "n_valid_samples": n_valid_samples,
+        "n_touched_blocks": t_count,
+        "n_new_blocks": n_new,
+        "n_blocks": n_blocks,
+    }
+    return new_state, metrics
+
+
+def update_pool_tiled(state: ActiveMapState, pkeys, psd, pw, tile_ovf,
+                      n_valid_samples, samp_overflow, pt_overflow,
+                      config: MapConfig, interpret: bool = False):
+    """Merge stage-A partial block rows into the pool (tile path stage B).
+
+    pkeys: i32[P, 1] per-tile sorted block-key lists (pad INT32_MAX);
+    psd/pw: f32[P, 512] partial rows; tile_ovf: i32[T, 1].
+    """
+    cb = config.block_capacity
+    t_cap = config.touched_capacity
+    reserved_row = cb - 1
+    p = pkeys.shape[0]
+    pk = pkeys.reshape(-1)
+
+    iota = jnp.arange(p, dtype=jnp.int32)
+    sk, order = jax.lax.sort((pk, iota), num_keys=1)
+    flags = segops.boundary_flags(sk) & (sk != INT32_MAX)
+    starts_full, _, t_total = segops.compact_flag_positions(flags, t_cap)
+    t_count = jnp.minimum(t_total, t_cap)
+    touched_overflow = jnp.maximum(t_total - t_cap, 0).astype(jnp.int32)
+    tvalid = jnp.arange(t_cap, dtype=jnp.int32) < t_count
+    starts_c = jnp.minimum(starts_full, p - 1)
+    tb_keys = jnp.where(tvalid, sk[starts_c], INT32_MAX)
+
+    (dir_keys, dir_slots, n_blocks, tb_slots, n_new,
+     block_overflow) = _directory_update(state, tb_keys, tvalid, config)
+
+    # per-partial pool slot (dense segment fill over the key-sorted stream)
+    t_idx = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    t_ok = (sk != INT32_MAX) & (t_idx < t_cap)
+    slot_per_partial = jnp.where(
+        t_ok, tb_slots[jnp.clip(t_idx, 0, t_cap - 1)], reserved_row)
+
+    # sort by slot so each 8-row pool group sees a contiguous partial range
+    slot_s, src = jax.lax.sort((slot_per_partial, order), num_keys=1)
+
+    # pad the gathered rows to a MERGE_CHUNK multiple for aligned DMA windows
+    p_pad = -(-max(p, tile_accum.MERGE_CHUNK) //
+              tile_accum.MERGE_CHUNK) * tile_accum.MERGE_CHUNK
+    pad = p_pad - p
+    src_c = jnp.clip(src, 0, p - 1)
+    gsd = jnp.pad(psd[src_c], ((0, pad), (0, 0)))
+    gw = jnp.pad(pw[src_c], ((0, pad), (0, 0)))
+    slot_s = jnp.pad(slot_s, (0, pad), constant_values=reserved_row)
+
+    n_live = jnp.sum(slot_s != reserved_row).astype(jnp.int32)
+    ng, gstart, glen, grow, prow = tile_accum.plan_merge(
+        slot_s, n_live, cb, t_cap)
+    pool_sd, pool_w = tile_accum.merge_partials(
+        state.pool_sd, state.pool_w, ng, gstart, glen, grow, prow,
+        gsd, gw, interpret=interpret)
+
+    new_state = ActiveMapState(
+        dir_keys=dir_keys, dir_slots=dir_slots, n_blocks=n_blocks,
+        pool_sd=pool_sd, pool_w=pool_w, origin_blocks=state.origin_blocks,
+        point_overflow=state.point_overflow + pt_overflow,
+        sample_overflow=state.sample_overflow + samp_overflow,
+        block_overflow=state.block_overflow + block_overflow,
+        touched_overflow=state.touched_overflow + touched_overflow,
+        tile_overflow=state.tile_overflow +
+        jnp.sum(tile_ovf).astype(jnp.int32),
     )
     metrics = {
         "n_valid_samples": n_valid_samples,
@@ -271,10 +374,67 @@ def insert_step(state: ActiveMapState, points: jnp.ndarray,
     Returns:
       (new_state, metrics dict).
     """
+    impl = _accumulate_impl(config)
+    if impl == "tile":
+        return insert_step_tiled(state, points, n_points, position, config)
     batch = compute_samples(points, n_points, position, state.origin_blocks,
                             config)
     batch = sort_samples(batch)
     return update_pool(state, batch, config)
+
+
+def insert_step_tiled(state: ActiveMapState, points, n_points, position,
+                      config: MapConfig, interpret: bool | None = None):
+    """Sort-free insert: Morton point sort -> normals -> DDA -> per-tile
+    Pallas partial accumulation -> partial merge.  No global sample sort.
+
+    Samples beyond a tile's distinct-block capacity (sparse clouds) are
+    routed through the legacy sort pipeline under a ``lax.cond`` — dense
+    scans never pay for it, sparse scans stay exact; the ``tile_overflow``
+    counter records how many samples took the fallback.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bkey, okey, pt_overflow = point_keys(points, n_points,
+                                         state.origin_blocks, config)
+    pts, sb, so = sort_points(points, bkey, okey)
+    s_bkey, s_okey, sd, n_valid, samp_overflow = compute_sample_grids(
+        pts, sb, so, position, state.origin_blocks, config)
+    pkeys, psd, pw, ovfmask = tile_accum.tile_partials(
+        s_bkey, s_okey, sd, nb=config.tile_nb, interpret=interpret)
+    tile_ovf = jnp.sum(ovfmask).astype(jnp.int32)
+    state, metrics = update_pool_tiled(state, pkeys, psd, pw, tile_ovf,
+                                       n_valid, samp_overflow, pt_overflow,
+                                       config, interpret=interpret)
+
+    def with_fallback(st):
+        fb_key = jnp.where(ovfmask != 0, s_bkey, INT32_MAX).reshape(-1)
+        payload = pack_payload(s_okey, sd, config.sdf_trunc)
+        payload = jnp.where(ovfmask != 0, payload, 0).reshape(-1)
+        batch = SampleBatch(fb_key, payload, jnp.zeros((), jnp.int32),
+                            jnp.zeros((), jnp.int32))
+        batch = sort_samples(batch)
+        st, m = update_pool(st, batch, config)
+        return st, m["n_new_blocks"]
+
+    def no_fallback(st):
+        return st, jnp.int32(0)
+
+    state, extra_new = jax.lax.cond(tile_ovf > 0,
+                                    with_fallback, no_fallback, state)
+    metrics["n_new_blocks"] = metrics["n_new_blocks"] + extra_new
+    metrics["n_blocks"] = state.n_blocks
+    return state, metrics
+
+
+def _accumulate_impl(config: MapConfig) -> str:
+    impl = config.accumulate_impl
+    if impl != "auto":
+        return impl
+    if (jax.default_backend() == "tpu" and
+            config.max_points % tile_accum.TILE == 0):
+        return "tile"
+    return "xla"
 
 
 def _use_pallas(config: MapConfig) -> bool:

@@ -253,6 +253,7 @@ class TSDFMap:
                 "samples": int(self.state.sample_overflow),
                 "blocks": int(self.state.block_overflow),
                 "touched": int(self.state.touched_overflow),
+                "tile": int(self.state.tile_overflow),
             }
         return s
 

@@ -52,6 +52,7 @@ class ActiveMapState:
     sample_overflow: jnp.ndarray   # i32[] ray samples outside the local extent
     block_overflow: jnp.ndarray    # i32[] blocks dropped (pool full)
     touched_overflow: jnp.ndarray  # i32[] touched blocks beyond capacity
+    tile_overflow: jnp.ndarray     # i32[] samples beyond a tile's block list
 
 
 def create_state(config: MapConfig, origin_blocks=None) -> ActiveMapState:
@@ -70,6 +71,7 @@ def create_state(config: MapConfig, origin_blocks=None) -> ActiveMapState:
         sample_overflow=jnp.zeros((), jnp.int32),
         block_overflow=jnp.zeros((), jnp.int32),
         touched_overflow=jnp.zeros((), jnp.int32),
+        tile_overflow=jnp.zeros((), jnp.int32),
     )
 
 

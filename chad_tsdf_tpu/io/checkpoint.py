@@ -61,7 +61,8 @@ def save_checkpoint(path: str, m: TSDFMap) -> None:
         arrays["active_origin"] = np.asarray(m.state.origin_blocks)
         arrays["active_counters"] = np.asarray([
             nb, int(m.state.point_overflow), int(m.state.sample_overflow),
-            int(m.state.block_overflow), int(m.state.touched_overflow)],
+            int(m.state.block_overflow), int(m.state.touched_overflow),
+            int(m.state.tile_overflow)],
             np.int64)
         arrays["active_positions"] = np.asarray(m._positions,
                                                 np.float32).reshape(-1, 3)
@@ -92,7 +93,9 @@ def load_checkpoint(path: str) -> TSDFMap:
                                 sm_meta["root_addr_weight"], pos,
                                 sm_meta["n_clusters"], sm_meta["n_voxels"]))
     if meta["has_active"]:
-        nb, po, so, bo, to = (int(x) for x in z["active_counters"])
+        counters = [int(x) for x in z["active_counters"]]
+        counters += [0] * (6 - len(counters))   # older checkpoints
+        nb, po, so, bo, to, tlo = counters
         m.state = ActiveMapState(
             dir_keys=jnp.asarray(z["active_dir_keys"]),
             dir_slots=jnp.asarray(z["active_dir_slots"]),
@@ -102,6 +105,7 @@ def load_checkpoint(path: str) -> TSDFMap:
             origin_blocks=jnp.asarray(z["active_origin"]),
             point_overflow=jnp.int32(po), sample_overflow=jnp.int32(so),
             block_overflow=jnp.int32(bo), touched_overflow=jnp.int32(to),
+            tile_overflow=jnp.int32(tlo),
         )
         m._positions = [p for p in z["active_positions"]]
     return m
