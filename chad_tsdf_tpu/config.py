@@ -66,6 +66,9 @@ class MapConfig:
     # worst tile (~35 distinct blocks) with margin; measured on TPU v5e,
     # 48 -> 87 ms / 64 -> 93 ms per 1M-point insert.
     tile_nb: int = 48
+    # 'auto' -> fused Pallas segmented-moment normals on TPU
+    # (ops/normals_pallas.py), XLA scans elsewhere; or force 'pallas'/'xla'
+    normals_impl: str = "auto"
     # print per-stage wall times like the reference's fmt timers
     # (morton.hpp:78,100, normals.hpp:146, octree.hpp:169, tsdf.cpp:74)
     profile: bool = False
@@ -109,3 +112,5 @@ class MapConfig:
             raise ValueError("tile accumulation needs max_points % 1024 == 0")
         if self.tile_nb % 8 != 0 or self.tile_nb < 8:
             raise ValueError("tile_nb must be a positive multiple of 8")
+        if self.normals_impl not in ("auto", "pallas", "xla"):
+            raise ValueError(f"bad normals_impl {self.normals_impl!r}")

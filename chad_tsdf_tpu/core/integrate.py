@@ -120,9 +120,17 @@ def compute_sample_grids(pts, sb, so, position, origin_blocks,
     px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
 
     # ---- normals (tsdf.cpp:67) ----
-    nx, ny, nz = normals.estimate_normals_soa(
-        px, py, pz, sb, so, valid_sorted, position,
-        config.normal_min_points, config.normal_max_depth)
+    if _use_pallas_normals(config, px.shape[0]):
+        from ..ops import normals_pallas
+        nx, ny, nz = normals_pallas.estimate_normals_pallas(
+            px, py, pz, sb, so, position,
+            config.normal_min_points, config.normal_max_depth, res,
+            origin_voxel=origin_voxel,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        nx, ny, nz = normals.estimate_normals_soa(
+            px, py, pz, sb, so, valid_sorted, position,
+            config.normal_min_points, config.normal_max_depth)
 
     # ---- DDA traversal + signed distances (octree.hpp:92-163) ----
     vx, vy, vz, vvalid = dda.traverse(px, py, pz, position, res, trunc, k)
@@ -425,6 +433,17 @@ def insert_step_tiled(state: ActiveMapState, points, n_points, position,
     metrics["n_new_blocks"] = metrics["n_new_blocks"] + extra_new
     metrics["n_blocks"] = state.n_blocks
     return state, metrics
+
+
+def _use_pallas_normals(config: MapConfig, n: int) -> bool:
+    from ..ops import normals_pallas
+    if normals_pallas.pick_lanes(n) is None:
+        return False
+    if config.normals_impl == "pallas":
+        return True
+    if config.normals_impl == "xla":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _accumulate_impl(config: MapConfig) -> str:
