@@ -46,9 +46,10 @@ def main():
     pos_np = np.zeros(3, np.float32)
     state = create_state(config, origin_blocks_for_position(pos_np, config))
 
-    # compile + warm up
+    # compile + warm up.  NOTE: jax.block_until_ready does not actually wait
+    # for device completion through the axon relay; a one-element host
+    # readback does, so every sync below reads back a scalar.
     state, metrics = integrate.insert_step(state, points, n, position, config)
-    jax.block_until_ready(state.pool_sd)
     print("warmup:", {k: int(v) for k, v in metrics.items()},
           file=sys.stderr)
 
@@ -57,7 +58,7 @@ def main():
     for _ in range(reps):
         state, metrics = integrate.insert_step(state, points, n, position,
                                                config)
-    jax.block_until_ready(state.pool_sd)
+    np.asarray(state.pool_sd[0, 0])     # true device sync (see note above)
     dt = time.perf_counter() - t0
     pts_per_sec = reps * n_points / dt
 
