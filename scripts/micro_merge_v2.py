@@ -20,25 +20,27 @@ G_CAP = 4096          # subgroup table capacity
 
 
 def _kernel(gstart_ref, gend_ref, grow_ref, first_ref, cstart_ref,
-            prow0, prow1, pd0, pd1, pw0, pw1, pool_sd_in, pool_w_in,
+            poh0, poh1, pd0, pd1, pw0, pw1, pool_sd_in, pool_w_in,
             out_sd, out_w):
     i = pl.program_id(0)
     gstart = gstart_ref[i]
     gend = gend_ref[i]
     base = cstart_ref[i] * CHUNKW
 
-    rids = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNKW), 0)
-    cids = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNKW), 1)
-    g0 = base + cids
-    g1 = base + CHUNKW + cids
-    in0 = (g0 >= gstart) & (g0 < gend)
-    in1 = (g1 >= gstart) & (g1 < gend)
-    oh0 = ((prow0[...] == rids) & in0).astype(jnp.float32)
-    oh1 = ((prow1[...] == rids) & in1).astype(jnp.float32)
-    acc_sd = (jnp.dot(oh0, pd0[...], preferred_element_type=jnp.float32) +
-              jnp.dot(oh1, pd1[...], preferred_element_type=jnp.float32))
-    acc_w = (jnp.dot(oh0, pw0[...], preferred_element_type=jnp.float32) +
-             jnp.dot(oh1, pw1[...], preferred_element_type=jnp.float32))
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (CHUNKW, 8), 0)
+    in0 = ((base + ridx >= gstart) & (base + ridx < gend))
+    in1 = ((base + CHUNKW + ridx >= gstart) & (base + CHUNKW + ridx < gend))
+    a0 = poh0[...] * in0.astype(jnp.float32)        # (CHUNKW, 8)
+    a1 = poh1[...] * in1.astype(jnp.float32)
+    dn = (((0,), (0,)), ((), ()))
+    acc_sd = (jax.lax.dot_general(a0, pd0[...], dn,
+                                  preferred_element_type=jnp.float32) +
+              jax.lax.dot_general(a1, pd1[...], dn,
+                                  preferred_element_type=jnp.float32))
+    acc_w = (jax.lax.dot_general(a0, pw0[...], dn,
+                                 preferred_element_type=jnp.float32) +
+             jax.lax.dot_general(a1, pw1[...], dn,
+                                 preferred_element_type=jnp.float32))
 
     @pl.when(first_ref[i] == 1)
     def _():
@@ -52,7 +54,7 @@ def _kernel(gstart_ref, gend_ref, grow_ref, first_ref, cstart_ref,
 
 
 def merge_v2(pool_sd, pool_w, n_sub, gstart, gend, grow, first, cstart,
-             gsd, gw, prow2d):
+             gsd, gw, poh, static_grid=None):
     last_chunk = P_CAP // CHUNKW - 1
     chunk0 = lambda i, gs, ge, gr, fi, cs: (cs[i], 0)
     chunk1 = lambda i, gs, ge, gr, fi, cs: (jnp.minimum(cs[i] + 1,
@@ -60,10 +62,10 @@ def merge_v2(pool_sd, pool_w, n_sub, gstart, gend, grow, first, cstart,
     poolmap = lambda i, gs, ge, gr, fi, cs: (gr[i], 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(n_sub,),
+        grid=(static_grid if static_grid is not None else n_sub,),
         in_specs=[
-            pl.BlockSpec((1, CHUNKW), chunk0, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CHUNKW), chunk1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNKW, 8), chunk0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNKW, 8), chunk1, memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNKW, 512), chunk0, memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNKW, 512), chunk1, memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNKW, 512), chunk0, memory_space=pltpu.VMEM),
@@ -83,16 +85,16 @@ def merge_v2(pool_sd, pool_w, n_sub, gstart, gend, grow, first, cstart,
             jax.ShapeDtypeStruct(pool_sd.shape, jnp.float32),
             jax.ShapeDtypeStruct(pool_w.shape, jnp.float32),
         ],
-        # args: 5 scalars, prow x2, gsd x2(same array), gw x2, pool_sd,
-        # pool_w -> pool positions 11, 12
+        # flat args: 5 scalars, poh x2, gsd x2, gw x2, pool_sd=11, pool_w=12
         input_output_aliases={11: 0, 12: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(gstart, gend, grow, first, cstart,
-      prow2d, prow2d, gsd, gsd, gw, gw, pool_sd, pool_w)
+      poh, poh, gsd, gsd, gw, gw, pool_sd, pool_w)
 
 
-merge_jit = jax.jit(merge_v2, donate_argnums=(0, 1))
+merge_jit = jax.jit(merge_v2, donate_argnums=(0, 1),
+                    static_argnames=("static_grid",))
 
 
 def main():
@@ -127,12 +129,15 @@ def main():
     ends2 = np.append(starts2[1:], n_live)
     gstart = np.zeros(G_CAP, np.int32); gstart[:n_sub] = starts2
     gend = np.zeros(G_CAP, np.int32); gend[:n_sub] = ends2
-    grow = np.zeros(G_CAP, np.int32); grow[:n_sub] = gkey[starts2]
+    # dummy tail entries target the reserved pool group with an empty span
+    grow = np.full(G_CAP, CB // 8 - 1, np.int32); grow[:n_sub] = gkey[starts2]
     first = np.zeros(G_CAP, np.int32); first[:n_sub] = gb[starts2]
+    if n_sub < G_CAP:
+        first[n_sub] = 1
     cstart = np.zeros(G_CAP, np.int32); cstart[:n_sub] = starts2 // CHUNKW
     prow = np.full(P_CAP, 8, np.int32)
     prow[:n_live] = slots - gkey * 8
-    prow2d = prow.reshape(-1, CHUNKW)
+    poh = (prow[:, None] == np.arange(8)[None, :]).astype(np.float32)
 
     pool_sd = np.zeros((CB, 512), np.float32)
     pool_w = np.zeros((CB, 512), np.float32)
@@ -144,25 +149,23 @@ def main():
         ref_w[slots[i]] += gw[i]
 
     args = [jnp.asarray(x) for x in
-            (gstart, gend, grow, first, cstart, gsd, gw, prow2d)]
-    out_sd, out_w = merge_jit(jnp.asarray(pool_sd), jnp.asarray(pool_w),
-                              jnp.int32(n_sub), args[0], args[1], args[2],
-                              args[3], args[4], args[5], args[6], args[7])
-    jax.block_until_ready(out_sd)
-    err_sd = np.abs(np.asarray(out_sd) - ref_sd).max()
-    err_w = np.abs(np.asarray(out_w) - ref_w).max()
-    print(f"max err sd {err_sd:.2e}  w {err_w:.2e}")
+            (gstart, gend, grow, first, cstart, gsd, gw, poh)]
+    for sg in (None, 512, 1024, 4096):
+        out_sd, out_w = merge_jit(jnp.asarray(pool_sd), jnp.asarray(pool_w),
+                                  jnp.int32(n_sub), *args, static_grid=sg)
+        err_sd = np.abs(np.asarray(out_sd) - ref_sd).max()
+        err_w = np.abs(np.asarray(out_w) - ref_w).max()
 
-    reps = 20
-    cur_sd, cur_w = out_sd, out_w
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        cur_sd, cur_w = merge_jit(cur_sd, cur_w, jnp.int32(n_sub), args[0],
-                                  args[1], args[2], args[3], args[4],
-                                  args[5], args[6], args[7])
-    jax.block_until_ready(cur_sd)
-    dt = (time.perf_counter() - t0) / reps
-    print(f"merge_v2: {dt*1e3:.2f} ms per call ({n_sub} subgroups)")
+        reps = 20
+        cur_sd, cur_w = out_sd, out_w
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            cur_sd, cur_w = merge_jit(cur_sd, cur_w, jnp.int32(n_sub),
+                                      *args, static_grid=sg)
+        np.asarray(cur_sd[0, 0])          # true sync (axon relay)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"merge_v2[grid={sg}]: {dt*1e3:.2f} ms per call "
+              f"({n_sub} subgroups)  err sd {err_sd:.2e} w {err_w:.2e}")
 
 
 if __name__ == "__main__":

@@ -32,6 +32,65 @@ def list_phase(nb, bkey):
     return lst, work
 
 
+def batcher_pairs(n):
+    """Batcher odd-even mergesort comparator pairs for arbitrary n
+    (generated for the next power of two; comparators reaching beyond n
+    are dropped, which is valid because max always moves to the higher
+    index)."""
+    m = 1
+    while m < n:
+        m *= 2
+    pairs = []
+    p = 1
+    while p < m:
+        k = p
+        while k >= 1:
+            for j in range(k % p, m - k, 2 * k):
+                for i in range(0, k):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        a, b = i + j, i + j + k
+                        if b < n:
+                            pairs.append((a, b))
+            k //= 2
+        p *= 2
+    return pairs
+
+
+def _column_sort(rows, pairs):
+    for (i, j) in pairs:
+        a, b = rows[i], rows[j]
+        rows[i] = jnp.minimum(a, b)
+        rows[j] = jnp.maximum(a, b)
+    return rows
+
+
+def list_phase_presort(nb, bkey, roll=True):
+    """Sort each lane column's K values, dedup, then pop nb global minima
+    with one cross-lane reduce + one sublane roll per round."""
+    k = bkey.shape[0]
+    pairs = batcher_pairs(k)
+    rows = _column_sort([bkey[i:i + 1] for i in range(k)], pairs)
+    # dedup: duplicates are adjacent after the sort
+    rows = [rows[0]] + [jnp.where(rows[i] == rows[i - 1], INF, rows[i])
+                        for i in range(1, k)]
+    # re-sort to float the INF holes to the bottom (values now distinct)
+    rows = _column_sort(rows, pairs)
+    work = jnp.concatenate(rows, axis=0)          # (k, C) column-sorted
+    sub = jax.lax.broadcasted_iota(jnp.int32, work.shape, 0)
+    lst = []
+    for _ in range(nb):
+        m = jnp.min(work[0:1])
+        lst.append(m)
+        pop = work[0:1] == m                      # (1, C) -> broadcast
+        if roll:
+            up = pltpu.roll(work, shift=k - 1, axis=0)
+        else:
+            up = jnp.concatenate([work[1:], work[:1]], axis=0)
+        up = jnp.where(sub == k - 1, INF, up)
+        work = jnp.where(pop, up, work)
+    return lst, work
+
+
 def rank_phase(nb, bkey, lst):
     lrow = jnp.zeros(bkey.shape, jnp.int32)
     for r in range(1, nb):
@@ -68,17 +127,24 @@ def make_kernel(nb, mode):
         if mode in ("list", "rank", "full"):
             lst, work = list_phase(nb, bkey)
             keys_out[...] = jnp.stack(lst).reshape(nb, 1)
+        elif mode in ("plist", "pfull"):
+            lst, work = list_phase_presort(nb, bkey)
+            keys_out[...] = jnp.stack(lst).reshape(nb, 1)
         else:
             keys_out[...] = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
             work = bkey
-        if mode in ("rank", "full", "mxu"):
+        if mode in ("rank", "full", "pfull", "mxu"):
             if mode == "mxu":
                 lrow = jnp.clip(bkey, 0, nb - 1)
             else:
                 lrow = rank_phase(nb, bkey, lst)
-        if mode in ("full", "mxu"):
-            covered = (work == INF) if mode == "full" else \
-                jnp.ones_like(bkey, jnp.bool_)
+        if mode in ("full", "pfull", "mxu"):
+            if mode == "full":
+                covered = work == INF
+            elif mode == "pfull":
+                covered = bkey <= lst[-1]
+            else:
+                covered = jnp.ones_like(bkey, jnp.bool_)
             use = ((bkey != INF) & covered).astype(jnp.float32)
             acc = mxu_phase(nb, okey, sd, lrow, use)
             psd_out[...] = acc[:, :nb].T
@@ -88,6 +154,8 @@ def make_kernel(nb, mode):
             pw_out[...] = jnp.zeros_like(pw_out)
             if mode == "rank":
                 psd_out[0:1, 0:1] = lrow[0:1, 0:1].astype(jnp.float32)
+            if mode == "plist":
+                psd_out[0:1, 0:1] = work[0:1, 0:1].astype(jnp.float32)
     return kern
 
 
@@ -126,9 +194,27 @@ def main():
     okey = jnp.asarray(rng.integers(0, 512, (K, N)).astype(np.int32))
     sd = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
 
+    # verify batcher_pairs + presort extraction against numpy first
+    rngv = np.random.default_rng(7)
+    for n in (3, 8, 11, 16):
+        arr = rngv.integers(0, 50, n)
+        rows = list(arr)
+        for (i, j) in batcher_pairs(n):
+            if rows[i] > rows[j]:
+                rows[i], rows[j] = rows[j], rows[i]
+        assert rows == sorted(arr), (n, rows, sorted(arr))
+    print("batcher network ok")
+
+    # presort extraction must produce identical block lists to min-extract
+    ra = build(48, 1024, "list")(bkey, okey, sd)
+    rb = build(48, 1024, "plist")(bkey, okey, sd)
+    ka, kb = np.asarray(ra[0]), np.asarray(rb[0])
+    assert (ka == kb).all(), (ka[:96].ravel(), kb[:96].ravel())
+    print("presort lists match min-extraction")
+
     for tile in (1024, 2048, 4096):
-        for nb, mode in ((48, "list"), (48, "rank"), (48, "mxu"),
-                         (48, "full"), (64, "full"), (32, "full")):
+        for nb, mode in ((48, "plist"), (48, "pfull"), (32, "pfull"),
+                         (40, "pfull")):
             run = build(nb, tile, mode)
             out = run(bkey, okey, sd)
             np.asarray(out[1][0, 0])          # true sync (axon relay)
