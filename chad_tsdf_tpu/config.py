@@ -56,9 +56,10 @@ class MapConfig:
     save_grid: bool = False
 
     # --- execution ---
-    # 'auto' -> 'tile' on TPU (sort-free per-tile Pallas accumulation),
-    # XLA scatter elsewhere; or force 'tile' / 'pallas' (global-sort +
-    # segment kernel) / 'xla'
+    # 'auto' -> 'fused' on TPU (one Pallas kernel for DDA + signed distance
+    # + per-tile accumulation, ops/fused_integrate.py), XLA scatter
+    # elsewhere; or force 'fused' / 'tile' (separate DDA + stage-A kernels)
+    # / 'pallas' (global-sort + segment kernel) / 'xla'
     accumulate_impl: str = "auto"
     # distinct-block-list capacity per 1024-point stage-A tile (see
     # ops/tile_accum.py); samples beyond it take the sort fallback and are
@@ -106,9 +107,11 @@ class MapConfig:
             raise ValueError("sdf_res and sdf_trunc must be positive")
         if 3 * self.block_bits > 31:
             raise ValueError("block_bits too large for int32 Morton keys")
-        if self.accumulate_impl not in ("auto", "tile", "pallas", "xla"):
+        if self.accumulate_impl not in ("auto", "fused", "tile", "pallas",
+                                        "xla"):
             raise ValueError(f"bad accumulate_impl {self.accumulate_impl!r}")
-        if self.accumulate_impl == "tile" and self.max_points % 1024 != 0:
+        if (self.accumulate_impl in ("tile", "fused")
+                and self.max_points % 1024 != 0):
             raise ValueError("tile accumulation needs max_points % 1024 == 0")
         if self.tile_nb % 8 != 0 or self.tile_nb < 8:
             raise ValueError("tile_nb must be a positive multiple of 8")

@@ -1,0 +1,242 @@
+"""Fused integrate kernel: DDA traversal + signed distance + tile
+accumulation in ONE Pallas pass over point tiles.
+
+Round-1 profiling showed the insert pipeline's cost was dominated not by
+FLOPs but by materializing the (K, N) sample grids in HBM between the XLA
+DDA scan (ops/dda.py) and the stage-A tile kernel (ops/tile_accum.py), plus
+the multi-pass elementwise soup XLA emits around them.  This kernel fuses
+the whole span — for each tile of ``TILE`` Morton-sorted points it:
+
+1. runs the Amanatides-Woo traversal for all K steps in VMEM registers
+   (identical step/tie-break semantics to ops/dda.py, reference
+   include/chad/detail/octree.hpp:92-152),
+2. computes the projective signed distance along the per-point normal
+   (octree.hpp:156-159) and the local (block, offset) Morton keys,
+3. accumulates every sample into per-tile partial block rows with the
+   stacked one-hot MXU matmul of ops/tile_accum.py (see that module's
+   docstring for why the matmul formulation is fast).
+
+The (K, N) sample arrays never exist outside VMEM.  Per-tile outputs are
+the same partial rows stage B (`core.integrate.update_pool_tiled`) already
+merges, plus a per-tile counter row [n_valid, n_not_covered, n_samp_ovf].
+
+Samples beyond a tile's ``nb`` distinct blocks are NOT accumulated here;
+the caller re-derives them (rare path, under lax.cond) via the legacy
+sample-grid pipeline and routes them through the sort-based update.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import morton
+
+INT32_MAX = np.int32(2**31 - 1)
+_FMAX = np.float32(3.4028235e38)
+
+TILE = 1024
+
+
+def _axis_setup(p, d, res, trunc):
+    """Per-axis DDA init — same math as ops/dda.py axis_setup."""
+    res_recip = 1.0 / res
+    start = p - d * trunc
+    final = p + d * trunc
+    vs = jnp.floor(start * res_recip).astype(jnp.int32)
+    vf = jnp.floor(final * res_recip).astype(jnp.int32)
+    sdir = jnp.sign(vf - vs).astype(jnp.int32)
+    d_recip = 1.0 / d
+    delta = jnp.abs(res * d_recip)
+    bound = jnp.where(sdir < 0, res * jnp.floor(start * res_recip),
+                      res * jnp.ceil(start * res_recip))
+    tmax = jnp.abs((bound - start) * d_recip)
+    tmax = jnp.where(sdir == 0, _FMAX, tmax)
+    delta = jnp.where(sdir == 0, _FMAX, delta)
+    return vs, vf, sdir, delta, tmax
+
+
+def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
+            acc_dtype,
+            pos_ref, org_ref,                       # scalar prefetch (SMEM)
+            px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, sb_ref,
+            keys_out, psd_out, pw_out, counts_out):
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]        # (1, C)
+    nx, ny, nz = nx_ref[...], ny_ref[...], nz_ref[...]
+    c = px.shape[1]
+    resf = jnp.float32(res)
+    truncf = jnp.float32(trunc)
+    posx, posy, posz = pos_ref[0], pos_ref[1], pos_ref[2]
+    ox, oy, oz = org_ref[0], org_ref[1], org_ref[2]           # origin voxel
+
+    valid_pt = sb_ref[...] != INT32_MAX
+
+    # ---- ray directions (octree.hpp:96-97) ----
+    dx = px - posx
+    dy = py - posy
+    dz = pz - posz
+    norm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    inv = 1.0 / norm
+    dx, dy, dz = dx * inv, dy * inv, dz * inv
+    dir_ok = jnp.isfinite(dx) & jnp.isfinite(dy) & jnp.isfinite(dz)
+
+    vsx, vfx, sx, dlx, tx = _axis_setup(px, dx, resf, truncf)
+    vsy, vfy, sy, dly, ty = _axis_setup(py, dy, resf, truncf)
+    vsz, vfz, sz, dlz, tz = _axis_setup(pz, dz, resf, truncf)
+
+    rows_b, rows_o, rows_sd = [], [], []
+    n_samp_ovf = jnp.zeros((), jnp.int32)
+    n_valid = jnp.zeros((), jnp.int32)
+
+    def emit(vx, vy, vz, valid):
+        nonlocal n_samp_ovf, n_valid
+        lx = vx - ox
+        ly = vy - oy
+        lz = vz - oz
+        in_range = ((lx >= 0) & (lx < extent) & (ly >= 0) & (ly < extent) &
+                    (lz >= 0) & (lz < extent))
+        n_samp_ovf += jnp.sum((valid & ~in_range).astype(jnp.int32))
+        ok = valid & in_range
+        n_valid += jnp.sum(ok.astype(jnp.int32))
+        lx = jnp.clip(lx, 0, extent - 1)
+        ly = jnp.clip(ly, 0, extent - 1)
+        lz = jnp.clip(lz, 0, extent - 1)
+        bkey = morton.encode_block(lx >> 3, ly >> 3, lz >> 3)
+        okey = morton.encode_offset(lx & 7, ly & 7, lz & 7)
+        # projective sd along the normal (octree.hpp:156-159)
+        sd = (nx * (vx.astype(jnp.float32) * resf - px) +
+              ny * (vy.astype(jnp.float32) * resf - py) +
+              nz * (vz.astype(jnp.float32) * resf - pz))
+        sd = jnp.clip(sd, -truncf, truncf)
+        rows_b.append(jnp.where(ok, bkey, INT32_MAX))
+        rows_o.append(jnp.where(ok, okey, 0))
+        rows_sd.append(jnp.where(ok, sd, 0.0))
+
+    alive = dir_ok & valid_pt
+    vx, vy, vz = vsx, vsy, vsz
+    emit(vx, vy, vz, alive)
+    for _ in range(k - 1):
+        # axis pick replicating octree.hpp:128-148 nested conditionals
+        pick_x = (tx < ty) & (tx < tz)
+        pick_y = (~(tx < ty)) & (ty < tz)
+        pick_z = ~(pick_x | pick_y)
+        vx = jnp.where(pick_x, vx + sx, vx)
+        vy = jnp.where(pick_y, vy + sy, vy)
+        vz = jnp.where(pick_z, vz + sz, vz)
+        tx = jnp.where(pick_x, tx + dlx, tx)
+        ty = jnp.where(pick_y, ty + dly, ty)
+        tz = jnp.where(pick_z, tz + dlz, tz)
+        # boolean mask arithmetic (picks are mutually exclusive); Mosaic
+        # cannot lower select-of-bool vectors
+        passed = ((pick_x & (vx == vfx + sx)) |
+                  (pick_y & (vy == vfy + sy)) |
+                  (pick_z & (vz == vfz + sz)))
+        alive = alive & ~passed
+        emit(vx, vy, vz, alive)
+
+    bkey = jnp.concatenate(rows_b, axis=0)                    # (K, C)
+    okey = jnp.concatenate(rows_o, axis=0)
+    sd = jnp.concatenate(rows_sd, axis=0)
+
+    # ---- distinct block list, ascending (nb min-extraction rounds) ----
+    work = bkey
+    lst = []
+    for _ in range(nb):
+        m = jnp.min(work)
+        lst.append(m)
+        work = jnp.where(work == m, INT32_MAX, work)
+    keys_out[...] = jnp.stack(lst).reshape(nb, 1)
+
+    covered = work == INT32_MAX
+    valid = bkey != INT32_MAX
+    not_covered = valid & ~covered
+    n_ovf = jnp.sum(not_covered.astype(jnp.int32))
+    use = (valid & covered).astype(jnp.float32)
+
+    # ---- local row rank: (# list keys <= bkey) - 1 ----
+    lrow = jnp.zeros((k, c), jnp.int32)
+    for r in range(1, nb):
+        lrow = lrow + (bkey >= lst[r]).astype(jnp.int32)
+
+    # ---- stacked one-hot accumulate, one matmul per sample row ----
+    acc = jnp.zeros((512, 2 * nb), jnp.float32)
+    rids = jax.lax.broadcasted_iota(jnp.int32, (512, c), 0)
+    cids = jax.lax.broadcasted_iota(jnp.int32, (2 * nb, c), 0)
+    is_w = (cids >= nb).astype(jnp.float32)
+    blk_col = jnp.where(cids >= nb, cids - nb, cids)
+    for r in range(k):
+        offr = okey[r:r + 1]
+        lrr = lrow[r:r + 1]
+        sdr = sd[r:r + 1]
+        user = use[r:r + 1]
+        oh = (offr == rids).astype(acc_dtype)
+        is_blk = (blk_col == lrr).astype(jnp.float32) * user
+        vals_t = (is_blk * (is_w + (1.0 - is_w) * sdr)).astype(acc_dtype)
+        acc += jax.lax.dot_general(
+            oh, vals_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    psd_out[...] = acc[:, :nb].T
+    pw_out[...] = acc[:, nb:].T
+
+    # counters in row 0, lanes [0..2]; 8-sublane block for TPU tiling
+    cnt = jnp.zeros((8, 128), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cnt = jnp.where((row == 0) & (lane == 0), n_valid, cnt)
+    cnt = jnp.where((row == 0) & (lane == 1), n_ovf, cnt)
+    cnt = jnp.where((row == 0) & (lane == 2), n_samp_ovf, cnt)
+    counts_out[...] = cnt
+
+
+def fused_tile_partials(px, py, pz, nx, ny, nz, sb, position, origin_voxel,
+                        *, nb: int, k: int, res: float, trunc: float,
+                        extent: int, interpret: bool = False):
+    """Fused DDA + tile accumulation over Morton-sorted points.
+
+    px..nz: f32[N] sorted coords and normals; sb: i32[N] sorted block key
+    (INT32_MAX = padding); position: f32[3]; origin_voxel: i32[3].
+
+    Returns (pkeys i32[T*nb, 1], psd f32[T*nb, 512], pw f32[T*nb, 512],
+    counts i32[T*8, 128]) — tile ti's counters live at counts[ti*8, 0:3] =
+    [n_valid, n_tile_ovf, n_samp_ovf]; all other entries are zero, so plain
+    column sums aggregate over tiles.
+    """
+    n = px.shape[0]
+    assert n % TILE == 0, (n, TILE)
+    t = n // TILE
+    acc_dtype = jnp.float32 if interpret else jnp.bfloat16
+    r1 = lambda a: a.reshape(1, n)
+    spec = pl.BlockSpec((1, TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[spec] * 7,
+        out_specs=[
+            pl.BlockSpec((nb, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 512), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 512), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, nb, k, float(res), float(trunc),
+                          int(extent), acc_dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t * nb, 1), jnp.int32),
+            jax.ShapeDtypeStruct((t * nb, 512), jnp.float32),
+            jax.ShapeDtypeStruct((t * nb, 512), jnp.float32),
+            jax.ShapeDtypeStruct((t * 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(position, origin_voxel, r1(px), r1(py), r1(pz),
+      r1(nx), r1(ny), r1(nz), r1(sb))

@@ -145,17 +145,21 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
         bounds = jnp.asarray(bounds_np)
 
         # ---- round 1: route points to owners before normal estimation ----
-        bkey, okey, pt_ovf = integrate.point_keys(
-            points, n_points[0], state.origin_blocks, config)
-        pts_s, sb, so = integrate.sort_points(points, bkey, okey)
+        px0, py0, pz0 = points[:, 0], points[:, 1], points[:, 2]
+        bkey, okey, pt_ovf = integrate.point_keys_soa(
+            px0, py0, pz0, n_points[0], state.origin_blocks, config)
+        sb, so, px0, py0, pz0 = integrate.sort_points_soa(
+            px0, py0, pz0, bkey, okey)
         rk, (ro,), (px, py, pz), pt_route_ovf = _route_by_key(
-            sb, [so], [pts_s[:, 0], pts_s[:, 1], pts_s[:, 2]],
-            bounds, pt_capacity, axis)
-        rpts = jnp.stack([px, py, pz], axis=-1)
-        rpts, rb2, ro2 = integrate.sort_points(rpts, rk, ro)
+            sb, [so], [px0, py0, pz0], bounds, pt_capacity, axis)
+        rb2, ro2, px, py, pz = integrate.sort_points_soa(px, py, pz, rk, ro)
 
-        batch = integrate.samples_from_sorted_points(
-            rpts, rb2, ro2, position, state.origin_blocks, config, pt_ovf)
+        s_bkey, s_okey, sd, _, samp_ovf = integrate.compute_sample_grids_soa(
+            px, py, pz, rb2, ro2, position, state.origin_blocks, config)
+        payload = integrate.pack_payload(s_okey, sd, config.sdf_trunc)
+        payload = jnp.where(s_bkey != integrate.INT32_MAX, payload, 0)
+        batch = integrate.SampleBatch(s_bkey.reshape(-1),
+                                      payload.reshape(-1), pt_ovf, samp_ovf)
         batch = integrate.sort_samples(batch)
 
         # ---- round 2: halo exchange of ray samples ----
