@@ -2,8 +2,17 @@
 
 Measures points/s for the reference's sphere demo (1M points on a 5 m
 sphere, res 0.05 m, trunc 0.1 m — reference src/chad/main.cpp:8-38) on the
-available accelerator, amortized over repeated inserts with a single final
-device sync (the remote-TPU tunnel costs ~29 ms per round trip).
+available accelerator.
+
+Timing methodology (hardened, round 2):
+* amortized: median over several rounds of 10 queued inserts with ONE
+  one-element readback per round (the remote-TPU tunnel costs ~28 ms per
+  host<->device round trip, so per-call syncs measure the tunnel).
+* per-insert-synced: median latency of a single insert + readback, printed
+  for cross-checking (includes one tunnel round trip by construction).
+* Quirk, observed and reproduced: ANY scalar readback (e.g. reading the
+  warmup metrics) degrades the NEXT batch of dispatches through the relay
+  by >10x for several calls.  The re-warm round below absorbs that.
 
 Prints exactly one JSON line:
   {"metric": "tsdf_integrate_points_per_sec", "value": N, "unit": "points/s",
@@ -13,6 +22,7 @@ vs_baseline is against the driver's north-star target of 50M points/s/chip
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -46,24 +56,50 @@ def main():
     pos_np = np.zeros(3, np.float32)
     state = create_state(config, origin_blocks_for_position(pos_np, config))
 
-    # compile + warm up.  NOTE: jax.block_until_ready does not actually wait
-    # for device completion through the axon relay; a one-element host
-    # readback does, so every sync below reads back a scalar.
-    state, metrics = integrate.insert_step(state, points, n, position, config)
+    def sync():
+        # NOTE: jax.block_until_ready does not actually wait for device
+        # completion through the axon relay; a one-element readback does.
+        np.asarray(state.pool_sd[0, 0])
+
+    # compile + warm up
+    state, metrics = integrate.insert_step(state, points, n, position,
+                                           config)
     print("warmup:", {k: int(v) for k, v in metrics.items()},
           file=sys.stderr)
 
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # re-warm: the metrics readback above degrades the next dispatches
+    # through the relay (measured >10x for ~one round); absorb it untimed
+    for _ in range(3):
         state, metrics = integrate.insert_step(state, points, n, position,
                                                config)
-    np.asarray(state.pool_sd[0, 0])     # true device sync (see note above)
-    dt = time.perf_counter() - t0
-    pts_per_sec = reps * n_points / dt
+    sync()
 
-    print(f"{reps} inserts in {dt*1e3:.1f} ms -> "
-          f"{pts_per_sec/1e6:.2f} M points/s", file=sys.stderr)
+    reps, rounds = 10, 3
+    per_round = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, metrics = integrate.insert_step(state, points, n,
+                                                   position, config)
+        sync()
+        per_round.append((time.perf_counter() - t0) / reps)
+    amortized = statistics.median(per_round)
+    pts_per_sec = n_points / amortized
+
+    singles = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state, metrics = integrate.insert_step(state, points, n, position,
+                                               config)
+        sync()
+        singles.append(time.perf_counter() - t0)
+    single = statistics.median(singles)
+
+    print(f"amortized: {amortized*1e3:.1f} ms/insert over {rounds}x{reps} "
+          f"-> {pts_per_sec/1e6:.2f} M points/s "
+          f"(rounds: {[f'{r*1e3:.1f}' for r in per_round]})", file=sys.stderr)
+    print(f"per-insert-synced: {single*1e3:.1f} ms "
+          f"(includes ~28 ms tunnel round trip)", file=sys.stderr)
     print(json.dumps({
         "metric": "tsdf_integrate_points_per_sec",
         "value": round(pts_per_sec),

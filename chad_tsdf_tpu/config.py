@@ -38,10 +38,15 @@ class MapConfig:
     max_points: int = 1 << 20
     # DDA ray-sample slots per point; None = auto from trunc/res (see dda_steps)
     max_steps: int | None = None
-    # capacity of the active block pool (blocks of 8x8x8 voxels)
-    block_capacity: int = 1 << 18
+    # capacity of the active block pool (blocks of 8x8x8 voxels).  The
+    # directory rebuild sorts O(block_capacity) keys per insert and the
+    # merge kernel's grid spans touched_capacity steps, so these defaults
+    # are sized for a submap's working set (the active map rotates every
+    # submap_distance of travel), not the whole mission: 64k blocks =
+    # 33.5M voxels = 256 MiB of pool.  Overflow is counted, never silent.
+    block_capacity: int = 1 << 16
     # max distinct blocks touched by one insert
-    touched_capacity: int = 1 << 15
+    touched_capacity: int = 1 << 14
     # local block-coordinate extent: blocks per axis = 2**block_bits,
     # centred on the submap origin.  10 bits -> 1024 blocks -> 409.6 m at
     # res=0.05.  Must satisfy 3*block_bits <= 31 (single int32 Morton key).

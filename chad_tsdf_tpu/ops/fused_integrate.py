@@ -62,13 +62,12 @@ def _axis_setup(p, d, res, trunc):
 
 
 def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
-            acc_dtype,
+            n_sub: int, acc_dtype,
             pos_ref, org_ref,                       # scalar prefetch (SMEM)
             px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, sb_ref,
             keys_out, psd_out, pw_out, counts_out):
-    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]        # (1, C)
+    px, py, pz = px_ref[...], py_ref[...], pz_ref[...]   # (1, n_sub * TILE)
     nx, ny, nz = nx_ref[...], ny_ref[...], nz_ref[...]
-    c = px.shape[1]
     resf = jnp.float32(res)
     truncf = jnp.float32(trunc)
     posx, posy, posz = pos_ref[0], pos_ref[1], pos_ref[2]
@@ -139,50 +138,66 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
         alive = alive & ~passed
         emit(vx, vy, vz, alive)
 
-    bkey = jnp.concatenate(rows_b, axis=0)                    # (K, C)
-    okey = jnp.concatenate(rows_o, axis=0)
-    sd = jnp.concatenate(rows_sd, axis=0)
+    bkey_all = jnp.concatenate(rows_b, axis=0)           # (K, n_sub * TILE)
+    okey_all = jnp.concatenate(rows_o, axis=0)
+    sd_all = jnp.concatenate(rows_sd, axis=0)
 
-    # ---- distinct block list, ascending (nb min-extraction rounds) ----
-    work = bkey
-    lst = []
+    # per-subtile slices: the distinct-list extraction below is a chain of
+    # nb data-dependent reduction rounds (latency-bound, not
+    # throughput-bound); running n_sub independent subtile chains
+    # interleaved hides that latency (measured ~2x on the extraction phase
+    # per doubling at equal total work).
+    sub = [slice(s * TILE, (s + 1) * TILE) for s in range(n_sub)]
+    bkeys = [bkey_all[:, sl] for sl in sub]
+
+    # ---- distinct block lists, ascending (nb min-extraction rounds) ----
+    works = list(bkeys)
+    lsts = [[] for _ in range(n_sub)]
     for _ in range(nb):
-        m = jnp.min(work)
-        lst.append(m)
-        work = jnp.where(work == m, INT32_MAX, work)
-    keys_out[...] = jnp.stack(lst).reshape(nb, 1)
+        for s in range(n_sub):
+            m = jnp.min(works[s])
+            lsts[s].append(m)
+            works[s] = jnp.where(works[s] == m, INT32_MAX, works[s])
+    keys_out[...] = jnp.concatenate(
+        [jnp.stack(lsts[s]).reshape(nb, 1) for s in range(n_sub)], axis=0)
 
-    covered = work == INT32_MAX
-    valid = bkey != INT32_MAX
-    not_covered = valid & ~covered
-    n_ovf = jnp.sum(not_covered.astype(jnp.int32))
-    use = (valid & covered).astype(jnp.float32)
+    n_ovf = jnp.zeros((), jnp.int32)
+    uses = []
+    for s in range(n_sub):
+        covered = works[s] == INT32_MAX
+        valid = bkeys[s] != INT32_MAX
+        not_covered = valid & ~covered
+        n_ovf += jnp.sum(not_covered.astype(jnp.int32))
+        uses.append((valid & covered).astype(jnp.float32))
 
     # ---- local row rank: (# list keys <= bkey) - 1 ----
-    lrow = jnp.zeros((k, c), jnp.int32)
+    lrows = [jnp.zeros((k, TILE), jnp.int32) for _ in range(n_sub)]
     for r in range(1, nb):
-        lrow = lrow + (bkey >= lst[r]).astype(jnp.int32)
+        for s in range(n_sub):
+            lrows[s] = lrows[s] + (bkeys[s] >= lsts[s][r]).astype(jnp.int32)
 
     # ---- stacked one-hot accumulate, one matmul per sample row ----
-    acc = jnp.zeros((512, 2 * nb), jnp.float32)
-    rids = jax.lax.broadcasted_iota(jnp.int32, (512, c), 0)
-    cids = jax.lax.broadcasted_iota(jnp.int32, (2 * nb, c), 0)
+    rids = jax.lax.broadcasted_iota(jnp.int32, (512, TILE), 0)
+    cids = jax.lax.broadcasted_iota(jnp.int32, (2 * nb, TILE), 0)
     is_w = (cids >= nb).astype(jnp.float32)
     blk_col = jnp.where(cids >= nb, cids - nb, cids)
+    accs = [jnp.zeros((512, 2 * nb), jnp.float32) for _ in range(n_sub)]
     for r in range(k):
-        offr = okey[r:r + 1]
-        lrr = lrow[r:r + 1]
-        sdr = sd[r:r + 1]
-        user = use[r:r + 1]
-        oh = (offr == rids).astype(acc_dtype)
-        is_blk = (blk_col == lrr).astype(jnp.float32) * user
-        vals_t = (is_blk * (is_w + (1.0 - is_w) * sdr)).astype(acc_dtype)
-        acc += jax.lax.dot_general(
-            oh, vals_t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        for s in range(n_sub):
+            sl = sub[s]
+            offr = okey_all[r:r + 1, sl]
+            lrr = lrows[s][r:r + 1]
+            sdr = sd_all[r:r + 1, sl]
+            user = uses[s][r:r + 1]
+            oh = (offr == rids).astype(acc_dtype)
+            is_blk = (blk_col == lrr).astype(jnp.float32) * user
+            vals_t = (is_blk * (is_w + (1.0 - is_w) * sdr)).astype(acc_dtype)
+            accs[s] += jax.lax.dot_general(
+                oh, vals_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-    psd_out[...] = acc[:, :nb].T
-    pw_out[...] = acc[:, nb:].T
+    psd_out[...] = jnp.concatenate([a[:, :nb].T for a in accs], axis=0)
+    pw_out[...] = jnp.concatenate([a[:, nb:].T for a in accs], axis=0)
 
     # counters in row 0, lanes [0..2]; 8-sublane block for TPU tiling
     cnt = jnp.zeros((8, 128), jnp.int32)
@@ -196,32 +211,40 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
 
 def fused_tile_partials(px, py, pz, nx, ny, nz, sb, position, origin_voxel,
                         *, nb: int, k: int, res: float, trunc: float,
-                        extent: int, interpret: bool = False):
+                        extent: int, n_sub: int = 4,
+                        interpret: bool = False):
     """Fused DDA + tile accumulation over Morton-sorted points.
 
     px..nz: f32[N] sorted coords and normals; sb: i32[N] sorted block key
-    (INT32_MAX = padding); position: f32[3]; origin_voxel: i32[3].
+    (INT32_MAX = padding); position: f32[3]; origin_voxel: i32[3]; ``n_sub``
+    subtiles of TILE points are processed per grid step (interleaved
+    latency-hiding — tile semantics are per-TILE regardless).
 
     Returns (pkeys i32[T*nb, 1], psd f32[T*nb, 512], pw f32[T*nb, 512],
-    counts i32[T*8, 128]) — tile ti's counters live at counts[ti*8, 0:3] =
-    [n_valid, n_tile_ovf, n_samp_ovf]; all other entries are zero, so plain
-    column sums aggregate over tiles.
+    counts i32[G*8, 128]) with T = N/TILE tiles and G = T/n_sub grid steps —
+    grid step g's counters live at counts[g*8, 0:3] = [n_valid, n_tile_ovf,
+    n_samp_ovf]; all other entries are zero, so plain column sums aggregate.
     """
     n = px.shape[0]
-    assert n % TILE == 0, (n, TILE)
+    while n_sub > 1 and n % (n_sub * TILE) != 0:
+        n_sub //= 2
+    assert n % (n_sub * TILE) == 0, (n, n_sub, TILE)
+    g = n // (n_sub * TILE)
     t = n // TILE
     acc_dtype = jnp.float32 if interpret else jnp.bfloat16
     r1 = lambda a: a.reshape(1, n)
-    spec = pl.BlockSpec((1, TILE), lambda i, *_: (0, i), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, n_sub * TILE), lambda i, *_: (0, i),
+                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t,),
+        grid=(g,),
         in_specs=[spec] * 7,
         out_specs=[
-            pl.BlockSpec((nb, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 512), lambda i, *_: (i, 0),
+            pl.BlockSpec((n_sub * nb, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 512), lambda i, *_: (i, 0),
+            pl.BlockSpec((n_sub * nb, 512), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_sub * nb, 512), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -229,13 +252,13 @@ def fused_tile_partials(px, py, pz, nx, ny, nz, sb, position, origin_voxel,
     )
     return pl.pallas_call(
         functools.partial(_kernel, nb, k, float(res), float(trunc),
-                          int(extent), acc_dtype),
+                          int(extent), n_sub, acc_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t * nb, 1), jnp.int32),
             jax.ShapeDtypeStruct((t * nb, 512), jnp.float32),
             jax.ShapeDtypeStruct((t * nb, 512), jnp.float32),
-            jax.ShapeDtypeStruct((t * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((g * 8, 128), jnp.int32),
         ],
         interpret=interpret,
     )(position, origin_voxel, r1(px), r1(py), r1(pz),

@@ -144,10 +144,26 @@ def compact_flag_positions(flags: jnp.ndarray, capacity: int):
     holding the indices of the first ``count`` set flags in ascending order;
     slots beyond ``count`` are filled with ``n`` (one past the end).
 
-    Implemented as cumulative rank + ``searchsorted`` with *capacity* queries
-    (small), never a scatter over *n* elements (large).
+    Two regimes, never a scatter over *n* elements:
+
+    * small n: one single-operand sort of ``where(flags, idx, n)`` — flag
+      positions float to the front in order (TPU: a 64k i32 sort is far
+      cheaper than capacity binary-search gathers).
+    * large n (the multi-million sample streams): cumulative rank +
+      ``searchsorted`` with *capacity* queries.
     """
     n = flags.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if n <= (1 << 17):
+        marked = jnp.where(flags, idx, jnp.int32(n))
+        pos_all = jax.lax.sort((marked,), num_keys=1)[0]
+        count = jnp.sum(flags.astype(jnp.int32))
+        if capacity <= n:
+            pos = pos_all[:capacity]
+        else:
+            pos = jnp.concatenate(
+                [pos_all, jnp.full((capacity - n,), n, jnp.int32)])
+        return pos, jnp.minimum(count, capacity), count
     rank = jnp.cumsum(flags.astype(jnp.int32))
     count = rank[-1] if n > 0 else jnp.int32(0)
     j = jnp.arange(1, capacity + 1, dtype=jnp.int32)

@@ -52,7 +52,6 @@ INT32_MAX = np.int32(2**31 - 1)
 
 TILE = 1024          # points per stage-A tile (grid step)
 MERGE_CHUNK = 128    # partial rows per stage-B matmul window (lane-aligned)
-MERGE_GRID = 256     # static stage-B grid; groups are strided over it
 
 
 # --------------------------------------------------------------------------
@@ -160,102 +159,82 @@ def tile_partials(bkey, okey, sd, nb: int, interpret: bool = False):
 
 def _merge_kernel(ng_ref, gstart_ref, glen_ref, grow_ref,   # scalar prefetch
                   prow_ref, gsd_hbm, gw_hbm,                # VMEM / ANY
-                  sd_pool_in, w_pool_in,                    # ANY (aliased)
-                  sd_pool_out, w_pool_out,
-                  csd, cw, rows_sd, rows_w, sem):
-    step = pl.program_id(0)
-    n_groups = ng_ref[0]
-    my_count = jnp.maximum(
-        (n_groups - step + MERGE_GRID - 1) // MERGE_GRID, 0)
+                  sd_rows_in, w_rows_in,                    # VMEM blocks
+                  sd_rows_out, w_rows_out,
+                  csd, cw, sem):
+    g = pl.program_id(0)
+    gstart = gstart_ref[g]
+    gend = gstart + glen_ref[g]          # glen = 0 for dead steps
     ch = MERGE_CHUNK
 
-    def group_body(gi, _):
-        g = step + gi * MERGE_GRID
-        gstart = gstart_ref[g]
-        gend = gstart + glen_ref[g]
-        row_base = grow_ref[g] * 8
+    first = gstart // ch
+    nchunks = jnp.where(gend > gstart, (gend - 1) // ch - first + 1, 0)
 
-        cp1 = pltpu.make_async_copy(
-            sd_pool_in.at[pl.ds(row_base, 8), :], rows_sd, sem.at[0])
-        cp2 = pltpu.make_async_copy(
-            w_pool_in.at[pl.ds(row_base, 8), :], rows_w, sem.at[1])
-        cp1.start()
-        cp2.start()
+    def chunk_body(j, acc2):
+        acc_sd, acc_w = acc2
+        base = pl.multiple_of((first + j) * ch, ch)
+        d1 = pltpu.make_async_copy(
+            gsd_hbm.at[pl.ds(base, ch), :], csd, sem.at[0])
+        d2 = pltpu.make_async_copy(
+            gw_hbm.at[pl.ds(base, ch), :], cw, sem.at[1])
+        d1.start()
+        d2.start()
+        prow = prow_ref[0:1, pl.ds(pl.multiple_of(base, ch), ch)]
+        gidx = base + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+        inseg = ((gidx >= gstart) & (gidx < gend)).astype(jnp.float32)
+        rids = jax.lax.broadcasted_iota(jnp.int32, (8, ch), 0)
+        oh = (prow == rids).astype(jnp.float32) * inseg  # (8, CH)
+        d1.wait()
+        d2.wait()
+        acc_sd = acc_sd + jnp.dot(oh, csd[...],
+                                  preferred_element_type=jnp.float32)
+        acc_w = acc_w + jnp.dot(oh, cw[...],
+                                preferred_element_type=jnp.float32)
+        return acc_sd, acc_w
 
-        first = gstart // ch
-        nchunks = jnp.where(gend > gstart, (gend - 1) // ch - first + 1, 0)
-
-        def chunk_body(j, acc2):
-            acc_sd, acc_w = acc2
-            base = pl.multiple_of((first + j) * ch, ch)
-            d1 = pltpu.make_async_copy(
-                gsd_hbm.at[pl.ds(base, ch), :], csd, sem.at[2])
-            d2 = pltpu.make_async_copy(
-                gw_hbm.at[pl.ds(base, ch), :], cw, sem.at[3])
-            d1.start()
-            d2.start()
-            prow = prow_ref[0:1, pl.ds(pl.multiple_of(base, ch), ch)]
-            gidx = base + jax.lax.broadcasted_iota(
-                jnp.int32, (1, ch), 1)
-            inseg = ((gidx >= gstart) & (gidx < gend)).astype(jnp.float32)
-            rids = jax.lax.broadcasted_iota(jnp.int32, (8, ch), 0)
-            oh = (prow == rids).astype(jnp.float32) * inseg  # (8, CH)
-            d1.wait()
-            d2.wait()
-            acc_sd = acc_sd + jnp.dot(oh, csd[...],
-                                      preferred_element_type=jnp.float32)
-            acc_w = acc_w + jnp.dot(oh, cw[...],
-                                    preferred_element_type=jnp.float32)
-            return acc_sd, acc_w
-
-        acc0 = (jnp.zeros((8, 512), jnp.float32),
-                jnp.zeros((8, 512), jnp.float32))
-        acc_sd, acc_w = jax.lax.fori_loop(0, nchunks, chunk_body, acc0)
-
-        cp1.wait()
-        cp2.wait()
-        rows_sd[...] += acc_sd
-        rows_w[...] += acc_w
-        cpo1 = pltpu.make_async_copy(
-            rows_sd, sd_pool_out.at[pl.ds(row_base, 8), :], sem.at[0])
-        cpo2 = pltpu.make_async_copy(
-            rows_w, w_pool_out.at[pl.ds(row_base, 8), :], sem.at[1])
-        cpo1.start()
-        cpo2.start()
-        cpo1.wait()
-        cpo2.wait()
-        return 0
-
-    jax.lax.fori_loop(0, my_count, group_body, 0)
+    acc0 = (jnp.zeros((8, 512), jnp.float32),
+            jnp.zeros((8, 512), jnp.float32))
+    acc_sd, acc_w = jax.lax.fori_loop(0, nchunks, chunk_body, acc0)
+    sd_rows_out[...] = sd_rows_in[...] + acc_sd
+    w_rows_out[...] = w_rows_in[...] + acc_w
 
 
 def merge_partials(pool_sd, pool_w, n_groups, gstart, glen, grow, prow,
                    gsd, gw, interpret: bool = False):
     """Stage B.  Adds slot-sorted partial rows into the pool.
 
-    pool_sd/pool_w: f32[Cb, 512] (donated/aliased).  n_groups: i32[1].
+    One grid step per (potential) touched 8-row pool group; the group's pool
+    rows are pipelined in/out of VMEM by BlockSpecs whose index map reads
+    the scalar-prefetched ``grow`` table — so Pallas overlaps each group's
+    pool-row DMA with the previous group's accumulation.  Steps past
+    ``n_groups`` map to the reserved tail group; consecutive identical
+    indices are revisit-skipped (no DMA, identity write-back), so the static
+    grid's dead tail is nearly free.
+
+    pool_sd/pool_w: f32[Cb, 512] (aliased into the outputs).
     gstart/glen/grow: i32[G] group table over the sorted partial stream
-    (grow indexes 8-row pool groups).  prow: i32[1, P] row-in-group per
-    sorted partial.  gsd/gw: f32[P, 512] partial rows in sorted-slot order,
-    padded to a multiple of MERGE_CHUNK.
+    (grow indexes 8-row pool groups; dead entries: glen=0, grow=reserved).
+    prow: i32[1, P] row-in-group per sorted partial.  gsd/gw: f32[P, 512]
+    partial rows in sorted-slot order, padded to a MERGE_CHUNK multiple.
     """
+    g_cap = gstart.shape[0]
+    pool_spec = pl.BlockSpec((8, 512), lambda i, ng, gs, gl, gr: (gr[i], 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(MERGE_GRID,),
+        grid=(g_cap,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # prow
             pl.BlockSpec(memory_space=pl.ANY),    # gsd
             pl.BlockSpec(memory_space=pl.ANY),    # gw
-            pl.BlockSpec(memory_space=pl.ANY),    # pool_sd
-            pl.BlockSpec(memory_space=pl.ANY),    # pool_w
+            pool_spec,                            # pool_sd rows
+            pool_spec,                            # pool_w rows
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pool_spec, pool_spec],
         scratch_shapes=[
             pltpu.VMEM((MERGE_CHUNK, 512), jnp.float32),
             pltpu.VMEM((MERGE_CHUNK, 512), jnp.float32),
-            pltpu.VMEM((8, 512), jnp.float32),
-            pltpu.VMEM((8, 512), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -212,9 +212,10 @@ def main():
     assert (ka == kb).all(), (ka[:96].ravel(), kb[:96].ravel())
     print("presort lists match min-extraction")
 
-    for tile in (1024, 2048, 4096):
-        for nb, mode in ((48, "plist"), (48, "pfull"), (32, "pfull"),
-                         (40, "pfull")):
+    for tile in (1024,):
+        for nb, mode in ((48, "list"), (48, "full"), (48, "plist"),
+                         (48, "pfull"), (40, "pfull"), (32, "pfull"),
+                         (48, "mxu")):
             run = build(nb, tile, mode)
             out = run(bkey, okey, sd)
             np.asarray(out[1][0, 0])          # true sync (axon relay)

@@ -26,7 +26,8 @@ origin = origin_blocks_for_position(pos_np, config)
 
 
 def sync(out):
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])   # one-element device readback
 
 
 def bench_loop(name, fn, state, reps=10):
@@ -113,3 +114,69 @@ for _ in range(10):
     out = sort_norm(points, n, position)
 sync(out)
 print(f"{'sort+normals':28s} {(time.perf_counter()-t0)/10*1e3:8.2f} ms")
+
+
+# 6) stage-B phase split (mirrors update_pool_tiled's body)
+from chad_tsdf_tpu.ops import segops, tile_accum
+
+state0 = create_state(config, origin)
+pkeys, psd, pw, counts = front(points, n, position)
+
+
+def b_prefix(stop):
+    @jax.jit
+    def fn(state, pkeys, psd, pw):
+        cb = config.block_capacity
+        t_cap = config.touched_capacity
+        reserved_row = cb - 1
+        p = pkeys.shape[0]
+        pk = pkeys.reshape(-1)
+        iota = jnp.arange(p, dtype=jnp.int32)
+        sk, order = jax.lax.sort((pk, iota), num_keys=1)
+        flags = segops.boundary_flags(sk) & (sk != integrate.INT32_MAX)
+        starts_full, _, t_total = segops.compact_flag_positions(flags, t_cap)
+        t_count = jnp.minimum(t_total, t_cap)
+        tvalid = jnp.arange(t_cap, dtype=jnp.int32) < t_count
+        starts_c = jnp.minimum(starts_full, p - 1)
+        tb_keys = jnp.where(tvalid, sk[starts_c], integrate.INT32_MAX)
+        if stop == "segs":
+            return tb_keys
+        (dir_keys, dir_slots, n_blocks, tb_slots, n_new, block_overflow) = \
+            integrate._directory_update(state, tb_keys, tvalid, config)
+        if stop == "dir":
+            return dir_keys, tb_slots
+        t_idx = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        t_ok = (sk != integrate.INT32_MAX) & (t_idx < t_cap)
+        slot_per_partial = jnp.where(
+            t_ok, tb_slots[jnp.clip(t_idx, 0, t_cap - 1)], reserved_row)
+        slot_s, src = jax.lax.sort((slot_per_partial, order), num_keys=1)
+        p_pad = -(-max(p, tile_accum.MERGE_CHUNK) //
+                  tile_accum.MERGE_CHUNK) * tile_accum.MERGE_CHUNK
+        pad = p_pad - p
+        src_c = jnp.clip(src, 0, p - 1)
+        gsd = jnp.pad(psd[src_c], ((0, pad), (0, 0)))
+        gw = jnp.pad(pw[src_c], ((0, pad), (0, 0)))
+        slot_sp = jnp.pad(slot_s, (0, pad), constant_values=reserved_row)
+        if stop == "gather":
+            return gsd, gw
+        n_live = jnp.sum(slot_sp != reserved_row).astype(jnp.int32)
+        ng, gstart, glen, grow, prow = tile_accum.plan_merge(
+            slot_sp, n_live, cb, t_cap)
+        if stop == "plan":
+            return ng, prow
+        pool_sd, pool_w = tile_accum.merge_partials(
+            state.pool_sd, state.pool_w, ng, gstart, glen, grow, prow,
+            gsd, gw)
+        return pool_sd[0, 0]
+    return fn
+
+
+for stop in ("segs", "dir", "gather", "plan", "merge"):
+    fn = b_prefix(stop)
+    o = fn(state0, pkeys, psd, pw)
+    sync(o)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        o = fn(state0, pkeys, psd, pw)
+    sync(o)
+    print(f"B:{stop:24s} {(time.perf_counter()-t0)/10*1e3:8.2f} ms")

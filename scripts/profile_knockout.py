@@ -52,7 +52,8 @@ def prefix(stop):
 
 
 def sync(out):
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])   # one-element device readback
 
 
 def timeit(name, fn, *args, reps=10):

@@ -77,8 +77,8 @@ def full(state, points, n, position):
 
 
 def sync(out):
-    leaves = jax.tree.leaves(out)
-    np.asarray(leaves[0]).ravel()[:1]   # true device readback sync
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])   # one-element device readback
 
 
 def timeit(name, fn, *args, reps=10):
