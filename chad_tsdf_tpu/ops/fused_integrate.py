@@ -170,34 +170,52 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
         n_ovf += jnp.sum(not_covered.astype(jnp.int32))
         uses.append((valid & covered).astype(jnp.float32))
 
-    # ---- local row rank: (# list keys <= bkey) - 1 ----
-    lrows = [jnp.zeros((k, TILE), jnp.int32) for _ in range(n_sub)]
-    for r in range(1, nb):
-        for s in range(n_sub):
-            lrows[s] = lrows[s] + (bkeys[s] >= lsts[s][r]).astype(jnp.int32)
-
-    # ---- stacked one-hot accumulate, one matmul per sample row ----
+    # ---- ranks + stacked one-hot accumulation, with data-dependent skips:
+    # * a rank round whose list slot is exhausted (INT32_MAX) cannot change
+    #   any rank (no valid key is >= INT32_MAX) — most tiles use ~60% of nb;
+    # * a sample row with no usable samples contributes nothing — DDA tail
+    #   rows are mostly dead (K covers the worst case, the mean is ~2/3).
+    # pl.when bodies may only write refs, so ranks/accs live in scratch.
     rids = jax.lax.broadcasted_iota(jnp.int32, (512, TILE), 0)
     cids = jax.lax.broadcasted_iota(jnp.int32, (2 * nb, TILE), 0)
     is_w = (cids >= nb).astype(jnp.float32)
     blk_col = jnp.where(cids >= nb, cids - nb, cids)
-    accs = [jnp.zeros((512, 2 * nb), jnp.float32) for _ in range(n_sub)]
-    for r in range(k):
-        for s in range(n_sub):
-            sl = sub[s]
-            offr = okey_all[r:r + 1, sl]
-            lrr = lrows[s][r:r + 1]
-            sdr = sd_all[r:r + 1, sl]
-            user = uses[s][r:r + 1]
-            oh = (offr == rids).astype(acc_dtype)
-            is_blk = (blk_col == lrr).astype(jnp.float32) * user
-            vals_t = (is_blk * (is_w + (1.0 - is_w) * sdr)).astype(acc_dtype)
-            accs[s] += jax.lax.dot_general(
-                oh, vals_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
 
-    psd_out[...] = jnp.concatenate([a[:, :nb].T for a in accs], axis=0)
-    pw_out[...] = jnp.concatenate([a[:, nb:].T for a in accs], axis=0)
+    def acc_ref_body(lrow_refs, acc_refs):
+        for s in range(n_sub):
+            lrow_refs[s][...] = jnp.zeros((k, TILE), jnp.int32)
+            acc_refs[s][...] = jnp.zeros((512, 2 * nb), jnp.float32)
+        for r in range(1, nb):
+            for s in range(n_sub):
+                def add_rank(s=s, r=r):
+                    lrow_refs[s][...] += \
+                        (bkeys[s] >= lsts[s][r]).astype(jnp.int32)
+                pl.when(lsts[s][r] != INT32_MAX)(add_rank)
+        for r in range(k):
+            for s in range(n_sub):
+                def row_update(s=s, r=r):
+                    sl = sub[s]
+                    offr = okey_all[r:r + 1, sl]
+                    lrr = lrow_refs[s][r:r + 1, :]
+                    sdr = sd_all[r:r + 1, sl]
+                    user = uses[s][r:r + 1]
+                    oh = (offr == rids).astype(acc_dtype)
+                    is_blk = (blk_col == lrr).astype(jnp.float32) * user
+                    vals_t = (is_blk *
+                              (is_w + (1.0 - is_w) * sdr)).astype(acc_dtype)
+                    acc_refs[s][...] += jax.lax.dot_general(
+                        oh, vals_t, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                pl.when(jnp.any(uses[s][r:r + 1] > 0))(row_update)
+        accs = [acc_refs[s][...] for s in range(n_sub)]
+        psd_out[...] = jnp.concatenate([a[:, :nb].T for a in accs], axis=0)
+        pw_out[...] = jnp.concatenate([a[:, nb:].T for a in accs], axis=0)
+
+    pl.run_scoped(
+        acc_ref_body,
+        lrow_refs=[pltpu.VMEM((k, TILE), jnp.int32) for _ in range(n_sub)],
+        acc_refs=[pltpu.VMEM((512, 2 * nb), jnp.float32)
+                  for _ in range(n_sub)])
 
     # counters in row 0, lanes [0..2]; 8-sublane block for TPU tiling
     cnt = jnp.zeros((8, 128), jnp.int32)
