@@ -368,21 +368,35 @@ def update_pool_tiled(state: ActiveMapState, pkeys, psd, pw, tile_ovf,
     # sort by slot so each 8-row pool group sees a contiguous partial range
     slot_s, src = jax.lax.sort((slot_per_partial, order), num_keys=1)
 
-    # pad the gathered rows to a MERGE_CHUNK multiple for aligned DMA windows
-    p_pad = -(-max(p, tile_accum.MERGE_CHUNK) //
-              tile_accum.MERGE_CHUNK) * tile_accum.MERGE_CHUNK
-    pad = p_pad - p
-    src_c = jnp.clip(src, 0, p - 1)
-    gsd = jnp.pad(psd[src_c], ((0, pad), (0, 0)))
-    gw = jnp.pad(pw[src_c], ((0, pad), (0, 0)))
-    slot_s = jnp.pad(slot_s, (0, pad), constant_values=reserved_row)
+    if interpret:
+        # CPU / test path: a plain deterministic scatter-add (duplicate-slot
+        # sums are sequential on CPU and TPU).  The Pallas merge kernel's
+        # grid would be unrolled at trace time in interpret mode — O(t_cap)
+        # compile blowup for zero fidelity gain (the kernel itself is
+        # differentially tested in tests/test_tile_accum.py).
+        src_c = jnp.clip(src, 0, p - 1)
+        ok = (slot_s != reserved_row)[:, None]
+        pool_sd = state.pool_sd.at[slot_s].add(jnp.where(ok, psd[src_c], 0.0))
+        pool_w = state.pool_w.at[slot_s].add(jnp.where(ok, pw[src_c], 0.0))
+        # the reserved row collects masked zeros only; keep it clean anyway
+        pool_sd = pool_sd.at[reserved_row].set(0.0)
+        pool_w = pool_w.at[reserved_row].set(0.0)
+    else:
+        # pad gathered rows to a MERGE_CHUNK multiple for aligned DMA windows
+        p_pad = -(-max(p, tile_accum.MERGE_CHUNK) //
+                  tile_accum.MERGE_CHUNK) * tile_accum.MERGE_CHUNK
+        pad = p_pad - p
+        src_c = jnp.clip(src, 0, p - 1)
+        gsd = jnp.pad(psd[src_c], ((0, pad), (0, 0)))
+        gw = jnp.pad(pw[src_c], ((0, pad), (0, 0)))
+        slot_s = jnp.pad(slot_s, (0, pad), constant_values=reserved_row)
 
-    n_live = jnp.sum(slot_s != reserved_row).astype(jnp.int32)
-    ng, gstart, glen, grow, prow = tile_accum.plan_merge(
-        slot_s, n_live, cb, t_cap)
-    pool_sd, pool_w = tile_accum.merge_partials(
-        state.pool_sd, state.pool_w, ng, gstart, glen, grow, prow,
-        gsd, gw, interpret=interpret)
+        n_live = jnp.sum(slot_s != reserved_row).astype(jnp.int32)
+        ng, gstart, glen, grow, prow = tile_accum.plan_merge(
+            slot_s, n_live, cb, t_cap)
+        pool_sd, pool_w = tile_accum.merge_partials(
+            state.pool_sd, state.pool_w, ng, gstart, glen, grow, prow,
+            gsd, gw, interpret=False)
 
     new_state = ActiveMapState(
         dir_keys=dir_keys, dir_slots=dir_slots, n_blocks=n_blocks,
@@ -417,6 +431,14 @@ def insert_step(state: ActiveMapState, points: jnp.ndarray,
     Returns:
       (new_state, metrics dict).
     """
+    return insert_step_impl(state, points, n_points, position, config)
+
+
+def insert_step_impl(state: ActiveMapState, points, n_points, position,
+                     config: MapConfig):
+    """Un-jitted :func:`insert_step` body — callable inside ``shard_map``
+    (the sharded path integrates into a scratch pool with this exact
+    pipeline, parallel/sharded.py)."""
     impl = _accumulate_impl(config)
     if impl == "fused":
         return insert_step_fused(state, points, n_points, position, config)
@@ -429,7 +451,8 @@ def insert_step(state: ActiveMapState, points: jnp.ndarray,
 
 
 def insert_step_fused(state: ActiveMapState, points, n_points, position,
-                      config: MapConfig, interpret: bool | None = None):
+                      config: MapConfig, interpret: bool | None = None,
+                      acc_dtype=None):
     """Fused insert: Morton point sort (coords as sort payload — no gather)
     -> normals -> ONE Pallas kernel for DDA + signed distances + per-tile
     partial accumulation (ops/fused_integrate.py) -> partial merge.
@@ -450,7 +473,8 @@ def insert_step_fused(state: ActiveMapState, points, n_points, position,
         px, py, pz, nx, ny, nz, sb, position,
         state.origin_blocks * 8, nb=config.tile_nb, k=config.dda_steps,
         res=config.sdf_res, trunc=config.sdf_trunc,
-        extent=config.blocks_per_axis * 8, interpret=interpret)
+        extent=config.blocks_per_axis * 8, interpret=interpret,
+        acc_dtype=acc_dtype)
     n_valid = jnp.sum(counts[:, 0])          # only tile rows are non-zero
     tile_ovf = jnp.sum(counts[:, 1])
     samp_overflow = jnp.sum(counts[:, 2])

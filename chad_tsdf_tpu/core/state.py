@@ -75,6 +75,32 @@ def create_state(config: MapConfig, origin_blocks=None) -> ActiveMapState:
     )
 
 
+def warn_on_overflow(state: ActiveMapState) -> dict:
+    """Surface non-zero overflow counters as a Python warning.
+
+    Every static capacity overflows by *counting*, never silently — but a
+    user who ignores the counters would silently lose map quality (ADVICE
+    r2: block_capacity/touched_capacity defaults are finite where the
+    reference's hashmap octree is unbounded).  Called at host sync points
+    (finalize); cheap because the state is already on host there.
+    """
+    import warnings
+    counts = {
+        "point_overflow": int(state.point_overflow),
+        "sample_overflow": int(state.sample_overflow),
+        "block_overflow": int(state.block_overflow),
+        "touched_overflow": int(state.touched_overflow),
+    }
+    hit = {k: v for k, v in counts.items() if v > 0}
+    if hit:
+        warnings.warn(
+            f"map capacity overflow — dropped data: {hit}; raise the "
+            "corresponding MapConfig capacities (block_capacity/"
+            "touched_capacity/max_points) or shrink the scan extent",
+            RuntimeWarning, stacklevel=3)
+    return counts
+
+
 def origin_blocks_for_position(position, config: MapConfig) -> np.ndarray:
     """World block coordinate of the local frame corner for a submap starting
     at ``position`` — chosen so the scanner sits at the centre of the local

@@ -127,23 +127,72 @@ def build_submap(levels: NodeLevels, codes, words_t, words_w, positions,
 def finalize(state: ActiveMapState, levels: NodeLevels, config: MapConfig,
              positions: list) -> Submap:
     """Finalize the active map into a Submap, hash-consing into ``levels``."""
+    from .state import warn_on_overflow
+    warn_on_overflow(state)
     codes, words_t, words_w, n_vox = extract_clusters(state, config)
     return build_submap(levels, codes, words_t, words_w, positions, n_vox)
 
 
+def extract_raw_blocks(state, config: MapConfig):
+    """Host-side pre-quantization block extract for the sharded merge:
+    (world block codes u64[n], sd_sum f32[n, 512], w f32[n, 512])."""
+    n_blocks = int(state.n_blocks)
+    if n_blocks == 0:
+        return (np.zeros(0, np.uint64), np.zeros((0, 512), np.float32),
+                np.zeros((0, 512), np.float32))
+    keys = np.asarray(state.dir_keys)[:n_blocks]
+    slots = np.asarray(state.dir_slots)[:n_blocks]
+    sd = np.asarray(state.pool_sd)[slots]
+    w = np.asarray(state.pool_w)[slots]
+    wb = morton.np_block_key_to_world63(keys, np.asarray(state.origin_blocks),
+                                        config.block_bits)
+    return wb, sd, w
+
+
 def finalize_sharded(states: list, levels: NodeLevels, config: MapConfig,
                      positions: list) -> Submap:
-    """Finalize a Morton-sharded active map (one state per shard, disjoint
-    key ranges) into a single Submap — the submap-merge step of SURVEY §5.8.
+    """Finalize a Morton-sharded active map into a single Submap — the
+    submap-merge step of SURVEY §5.8.
+
+    Blocks duplicated across shards (halo rows the routing deferred, see
+    parallel/sharded.py) are merged *exactly*: their (sd_sum, weight)
+    accumulator rows are summed before quantization, identically to a
+    single-device pool that saw all samples.
     """
-    parts = [extract_clusters(st, config) for st in states]
+    parts = [extract_raw_blocks(st, config) for st in states]
     codes = np.concatenate([p[0] for p in parts])
-    words_t = np.concatenate([p[1] for p in parts])
-    words_w = np.concatenate([p[2] for p in parts])
-    n_vox = sum(p[3] for p in parts)
+    sd = np.concatenate([p[1] for p in parts])
+    w = np.concatenate([p[2] for p in parts])
+    if codes.shape[0] == 0:
+        return build_submap(levels, codes, codes, codes, positions, 0)
+
     order = np.argsort(codes, kind="stable")
-    return build_submap(levels, codes[order], words_t[order],
-                        words_w[order], positions, n_vox)
+    codes_s, sd_s, w_s = codes[order], sd[order], w[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], codes_s[1:] != codes_s[:-1]]))
+    ucodes = codes_s[starts]
+    sd_m = np.add.reduceat(sd_s, starts, axis=0)
+    w_m = np.add.reduceat(w_s, starts, axis=0)
+
+    # quantize + pack exactly like the single-device _extract_blocks
+    occupied = w_m > 0
+    mean = sd_m / np.maximum(w_m, 1.0)
+    q_sd = np.where(occupied, codec.encode_sd(np, mean, config.sdf_trunc),
+                    np.uint8(codec.EMPTY)).astype(np.uint8)
+    q_w = np.where(occupied, codec.encode_weight(np, w_m),
+                   np.uint8(codec.EMPTY)).astype(np.uint8)
+    q_sd = q_sd.reshape(-1, 64, 8)
+    q_w = q_w.reshape(-1, 64, 8)
+    nonempty = occupied.reshape(-1, 64, 8).any(-1)
+
+    cluster_codes = (ucodes[:, None] << np.uint64(6)) | \
+        np.arange(64, dtype=np.uint64)[None, :]
+    sel = nonempty.reshape(-1)
+    ccodes = cluster_codes.reshape(-1)[sel]
+    words_t = codec.pack_cluster_u64(np, q_sd.reshape(-1, 8)[sel])
+    words_w = codec.pack_cluster_u64(np, q_w.reshape(-1, 8)[sel])
+    n_vox = int((q_sd.reshape(-1, 8)[sel] != codec.EMPTY).sum())
+    return build_submap(levels, ccodes, words_t, words_w, positions, n_vox)
 
 
 def _add_empty_chain(levels: NodeLevels) -> int:

@@ -29,8 +29,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_FMAX = jnp.float32(3.4028235e38)
+# np (not jnp): a module-level device constant would initialise the XLA
+# backend at import time, breaking jax.distributed.initialize ordering
+_FMAX = np.float32(3.4028235e38)
 
 
 def traverse(px, py, pz, position, sdf_res: float, sdf_trunc: float,

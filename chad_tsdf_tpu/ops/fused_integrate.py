@@ -43,9 +43,13 @@ _FMAX = np.float32(3.4028235e38)
 TILE = 1024
 
 
-def _axis_setup(p, d, res, trunc):
-    """Per-axis DDA init — same math as ops/dda.py axis_setup."""
-    res_recip = 1.0 / res
+def _axis_setup(p, d, res, res_recip, trunc):
+    """Per-axis DDA init — same math as ops/dda.py axis_setup.
+
+    ``res_recip`` must be the HOST-rounded f32 constant float(1.0/res) —
+    the same value dda.py uses — so the lax.cond sort fallback's coverage
+    decision (which recomputes the traversal via dda.py) agrees with this
+    kernel bit-for-bit at voxel boundaries."""
     start = p - d * trunc
     final = p + d * trunc
     vs = jnp.floor(start * res_recip).astype(jnp.int32)
@@ -69,6 +73,8 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]   # (1, n_sub * TILE)
     nx, ny, nz = nx_ref[...], ny_ref[...], nz_ref[...]
     resf = jnp.float32(res)
+    # host-rounded, identical to dda.py's jnp.float32(1.0 / sdf_res)
+    res_recip = jnp.float32(float(np.float32(1.0 / res)))
     truncf = jnp.float32(trunc)
     posx, posy, posz = pos_ref[0], pos_ref[1], pos_ref[2]
     ox, oy, oz = org_ref[0], org_ref[1], org_ref[2]           # origin voxel
@@ -84,9 +90,9 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
     dx, dy, dz = dx * inv, dy * inv, dz * inv
     dir_ok = jnp.isfinite(dx) & jnp.isfinite(dy) & jnp.isfinite(dz)
 
-    vsx, vfx, sx, dlx, tx = _axis_setup(px, dx, resf, truncf)
-    vsy, vfy, sy, dly, ty = _axis_setup(py, dy, resf, truncf)
-    vsz, vfz, sz, dlz, tz = _axis_setup(pz, dz, resf, truncf)
+    vsx, vfx, sx, dlx, tx = _axis_setup(px, dx, resf, res_recip, truncf)
+    vsy, vfy, sy, dly, ty = _axis_setup(py, dy, resf, res_recip, truncf)
+    vsz, vfz, sz, dlz, tz = _axis_setup(pz, dz, resf, res_recip, truncf)
 
     rows_b, rows_o, rows_sd = [], [], []
     n_samp_ovf = jnp.zeros((), jnp.int32)
@@ -230,7 +236,7 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
 def fused_tile_partials(px, py, pz, nx, ny, nz, sb, position, origin_voxel,
                         *, nb: int, k: int, res: float, trunc: float,
                         extent: int, n_sub: int = 4,
-                        interpret: bool = False):
+                        interpret: bool = False, acc_dtype=None):
     """Fused DDA + tile accumulation over Morton-sorted points.
 
     px..nz: f32[N] sorted coords and normals; sb: i32[N] sorted block key
@@ -249,7 +255,11 @@ def fused_tile_partials(px, py, pz, nx, ny, nz, sb, position, origin_voxel,
     assert n % (n_sub * TILE) == 0, (n, n_sub, TILE)
     g = n // (n_sub * TILE)
     t = n // TILE
-    acc_dtype = jnp.float32 if interpret else jnp.bfloat16
+    if acc_dtype is None:
+        # TPU ships bf16 MXU accumulation inputs; interpret (CPU test) mode
+        # defaults to f32 but can force bf16 to exercise the TPU numerics
+        # (tests/test_fused.py::test_bf16_acc_matches_codec_quantization)
+        acc_dtype = jnp.float32 if interpret else jnp.bfloat16
     r1 = lambda a: a.reshape(1, n)
     spec = pl.BlockSpec((1, n_sub * TILE), lambda i, *_: (0, i),
                         memory_space=pltpu.VMEM)

@@ -113,7 +113,8 @@ def _tile_kernel(nb: int, acc_dtype, bkey_ref, okey_ref, sd_ref,
     pw_out[...] = acc[:, nb:].T
 
 
-def tile_partials(bkey, okey, sd, nb: int, interpret: bool = False):
+def tile_partials(bkey, okey, sd, nb: int, interpret: bool = False,
+                  acc_dtype=None):
     """Stage A.  bkey/okey: i32[K, N]; sd: f32[K, N]; N % TILE == 0.
 
     Invalid samples carry ``bkey == INT32_MAX``.  Returns
@@ -125,7 +126,8 @@ def tile_partials(bkey, okey, sd, nb: int, interpret: bool = False):
     k, n = bkey.shape
     assert n % TILE == 0, (n, TILE)
     t = n // TILE
-    acc_dtype = jnp.float32 if interpret else jnp.bfloat16
+    if acc_dtype is None:
+        acc_dtype = jnp.float32 if interpret else jnp.bfloat16
     grid = (t,)
     sample_spec = pl.BlockSpec((k, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
@@ -259,6 +261,15 @@ def plan_merge(slot_sorted, n_valid, cb: int, g_cap: int):
     slot_sorted: i32[P] pool slot per partial, ascending; entries beyond
     ``n_valid`` (and any equal to the reserved slot cb-1) are excluded.
     Returns (n_groups i32[1], gstart, glen, grow: i32[g_cap], prow i32[1,P]).
+
+    INVARIANT (merge_partials aliases pool rows in/out via BlockSpecs
+    indexed by grow[i]): a non-reserved group index must never appear at
+    two non-consecutive grid steps.  This table guarantees it — live groups
+    are distinct and ascending (boundary flags over an ascending gkey
+    stream), and every dead entry maps to the one reserved tail group.  If
+    a future change emitted a repeated non-adjacent grow value, Pallas
+    would prefetch stale input rows for the second visit and silently lose
+    the first visit's accumulation.
     """
     p = slot_sorted.shape[0]
     reserved_group = cb // 8 - 1

@@ -4,19 +4,22 @@ The reference has no distribution at all (no MPI/NCCL/sockets — its only OS
 interface is mmap, reference virtual_array.cpp:15-24).  The TPU build's
 multi-host story is the JAX-native one:
 
-* ``jax.distributed.initialize`` forms the process group (DCN),
+* ``jax.distributed.initialize`` forms the process group (DCN on TPU pods,
+  gloo for CPU process groups),
 * one global 1-D device mesh spans all hosts' chips; the Morton-range
   sharding of ``parallel.sharded`` is laid over it unchanged — XLA routes
-  the ``all_to_all`` sample exchange over ICI within a slice and DCN across
+  the block-row halo ``all_to_all`` over ICI within a slice and DCN across
   slices,
 * each host feeds its local shard of the point batch
-  (``host_local_points``), and finalization gathers per-shard block
-  extracts host-side (submap merge, core/submap.finalize_sharded).
+  (``host_local_points`` / ``global_shard_array``), and finalization
+  gathers per-shard block extracts host-side (submap merge,
+  core/submap.finalize_sharded).
 
 On a single-host environment these helpers degrade to the local device
-mesh, so the same driver script runs everywhere.  True N>=2 host runs
-require a TPU pod slice; this module is exercised on the virtual CPU mesh
-in tests and compile-validated by the driver's multichip dry run.
+mesh, so the same driver script runs everywhere.  A true 2-process run is
+exercised by tests/test_distributed.py, which spawns two CPU processes with
+gloo collectives and checks the sharded insert against the single-device
+oracle — the "multi-host without a cluster" idiom of SURVEY §4.
 """
 
 from __future__ import annotations
@@ -35,12 +38,19 @@ def initialize(coordinator_address: str | None = None,
     """Initialize the multi-host process group.
 
     No-ops on single-process runs.  Arguments default from the standard
-    environment (TPU metadata or JAX_COORDINATOR_ADDRESS etc.).
+    environment (TPU metadata or JAX_COORDINATOR_ADDRESS etc.).  On the CPU
+    backend the gloo collectives implementation is selected so cross-process
+    all_to_all/psum work without TPU hardware.
     """
     if num_processes is None:
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     if num_processes <= 1 and coordinator_address is None:
         return
+    # NOTE: must not touch the backend (jax.devices()/default_backend())
+    # before jax.distributed.initialize — inspect config/env only.
+    if "cpu" in (os.environ.get("JAX_PLATFORMS", "") or
+                 (jax.config.jax_platforms or "")):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -49,6 +59,21 @@ def initialize(coordinator_address: str | None = None,
 def global_mesh(axis: str = "shard"):
     """One 1-D mesh over every chip of every host."""
     return make_mesh(axis=axis)
+
+
+def global_shard_array(host_value: np.ndarray, mesh, spec):
+    """Build a global jax.Array from an identically-computed host value.
+
+    In multi-controller JAX a jitted function may only consume host numpy
+    directly when it is fully replicated; sharded inputs must be global
+    ``jax.Array``s.  Every process passes the same full ``host_value``
+    (deterministically computed, e.g. the Morton-split scan) and receives
+    the global array holding only its addressable shards.
+    """
+    from jax.sharding import NamedSharding
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        host_value.shape, sharding, lambda idx: host_value[idx])
 
 
 def host_local_points(points: np.ndarray, max_points_per_device: int):

@@ -4,25 +4,34 @@ The reference is strictly single-threaded and single-process (SURVEY §2.3);
 this module is the capability the TPU build adds: the map's block-key space
 is partitioned into contiguous Morton ranges, one per device, so each shard
 owns a compact spatial region (Morton order preserves locality).  This is
-the mapping analog of sequence/context parallelism (SURVEY §5.7):
+the mapping analog of sequence/context parallelism (SURVEY §5.7).
 
-* points are data-parallel over devices; each device computes its points'
-  ray samples locally (sort -> normals -> DDA),
-* samples are routed to their *owner* shard with one ``all_to_all`` over the
-  mesh axis — rays whose truncation band crosses a shard boundary simply
-  contribute samples to both owners, which IS the halo exchange (SURVEY
-  §5.7-5.8): deterministic, associative, no atomics,
-* each shard then runs the standard touched-block/accumulate update on its
-  own block pool.
+Design (v2 — block-row halo exchange):
+
+* Points are data-parallel over devices.  The host feeds each device a
+  Morton-contiguous slice of the scan (``morton_split``), so per-device
+  normal neighbourhoods are as complete as the single-device pipeline's.
+* Each shard integrates its local points with the FULL single-device
+  pipeline — the same fused Pallas DDA+accumulate kernel, tile fallback and
+  merge as ``core.integrate.insert_step`` — into a small per-step *scratch
+  pool*.  The scratch pool's occupied block rows are the per-shard partial
+  sums for this batch, consolidated per distinct block.
+* **Halo exchange**: scratch rows whose block key lies outside the shard's
+  own Morton range are routed to their owner with one ``all_to_all``.
+  Because the traffic unit is the consolidated (key, sd_row, w_row) block
+  row — not the raw ray sample — a point-density hotspot costs traffic
+  proportional to the few blocks it touches, not its millions of samples.
+  The pool accumulators are associative sums, so routed rows merge into the
+  owner's persistent pool exactly.
+* **No data is ever dropped by routing.**  Rows beyond the per-(src,dst)
+  ``halo_capacity`` simply stay in the local pool under their own key
+  (counted in ``route_overflow``); ``core.submap.finalize_sharded`` merges
+  duplicate blocks across shards exactly, so a deferred row only delays
+  deduplication, never loses map content.
 
 The same SPMD code runs on a real TPU mesh (ICI collectives) and on a
 virtual CPU mesh (``--xla_force_host_platform_device_count``), which is how
 tests and the driver's multi-chip dry run validate it without N chips.
-
-Routing capacity: samples sent from one shard to one destination are capped
-at ``route_capacity`` with an overflow counter (never silent truncation).
-Because samples are key-sorted before routing, per-destination segments are
-contiguous and the send buffers are built with pure gathers.
 """
 
 from __future__ import annotations
@@ -38,7 +47,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import MapConfig
 from ..core import integrate
 from ..core.state import INT32_MAX, ActiveMapState, create_state
-from ..ops import segops
+from ..ops import accumulate, morton
 
 
 def key_bounds(n_shards: int, config: MapConfig) -> np.ndarray:
@@ -58,119 +67,165 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def create_sharded_state(config: MapConfig, mesh: Mesh, origin_blocks,
+def scratch_config(config: MapConfig) -> MapConfig:
+    """Per-step scratch-pool config: same pipeline, small pool.
+
+    ``touched_capacity`` already bounds the distinct blocks one insert can
+    touch, so the scratch pool needs exactly that many usable rows plus the
+    reserved Pallas group."""
+    scb = config.touched_capacity + accumulate.GROUP
+    return dataclasses.replace(config, block_capacity=scb)
+
+
+def default_halo_capacity(n_shards: int, config: MapConfig) -> int:
+    """Per-(src,dst) row capacity for the halo all_to_all.
+
+    2x the uniform share of a batch's touched blocks; overflow defers rows
+    locally (never drops them)."""
+    cap = 2 * config.touched_capacity // max(n_shards, 1)
+    return max(64, -(-cap // 8) * 8)
+
+
+def create_sharded_state(config: MapConfig, mesh: Mesh, origin_blocks=None,
                          axis: str = "shard"):
-    """Per-shard ActiveMapState stacked on a leading device axis."""
+    """Per-shard ActiveMapState stacked on a leading device axis.
+
+    Works in multi-controller runs too: when the mesh spans processes the
+    leaves are built as global jax.Arrays from each process's (identical)
+    host value."""
     n = mesh.devices.size
     base = create_state(config, origin_blocks)
+    sharding = NamedSharding(mesh, P(axis))
+
+    if jax.process_count() > 1:
+        def mk(x):
+            xn = np.asarray(x)
+            shp = (n,) + xn.shape
+            return jax.make_array_from_callback(
+                shp, sharding,
+                lambda idx, xn=xn, shp=shp:
+                    np.broadcast_to(xn[None], shp)[idx])
+        return jax.tree.map(mk, base)
 
     def stack(x):
         return jnp.broadcast_to(x[None], (n,) + x.shape)
 
     stacked = jax.tree.map(stack, base)
-    sharding = NamedSharding(mesh, P(axis))
     return jax.device_put(stacked, sharding)
 
 
-def _route_by_key(keys: jnp.ndarray, int_fields: list, f32_fields: list,
-                  bounds: jnp.ndarray, capacity: int, axis: str):
-    """Exchange key-sorted rows so each shard holds only keys it owns.
+def _route_block_rows(keys, sd_rows, w_rows, bounds, me, capacity: int,
+                      axis: str):
+    """Exchange consolidated block rows so owners receive their halo.
 
-    ``keys`` must be ascending with INT32_MAX sentinels at the end.  Each
-    (src, dst) pair carries up to ``capacity`` rows; the overflow count is
-    returned (never silently dropped rows without accounting).  Returns
-    (recv_keys, recv_int_fields, recv_f32_fields, overflow) with
-    n_shards * capacity rows, unsorted.
-    """
+    ``keys`` must be ascending (INT32_MAX = invalid) with ``sd_rows`` /
+    ``w_rows`` the matching (R, 512) accumulator rows.  Rows owned by this
+    shard — and rows beyond ``capacity`` in a remote segment — are KEPT
+    locally (returned in ``local_keys``); only remote rows within capacity
+    travel.  Returns (local_keys, recv_keys, recv_sd, recv_w, deferred)
+    where ``deferred`` counts rows kept local only because the per-pair
+    capacity was hit (they stay correct under their own key and are merged
+    exactly at finalize)."""
+    r = keys.shape[0]
+    n = bounds.shape[0] - 1
     c = capacity
-    s = keys.shape[0]
 
-    # per-destination contiguous segments of the sorted key array
-    seg = jnp.searchsorted(keys, bounds).astype(jnp.int32)  # (d+1,)
+    seg = jnp.searchsorted(keys, bounds).astype(jnp.int32)   # (n+1,)
     starts, ends = seg[:-1], seg[1:]
     lens = ends - starts
-    overflow = jnp.sum(jnp.maximum(lens - c, 0)).astype(jnp.int32)
 
+    dst = jnp.arange(n, dtype=jnp.int32)
+    valid = keys != INT32_MAX
     j = jnp.arange(c, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(starts[:, None] + j, s - 1)
-    valid = j < lens[:, None]
+    idx = jnp.minimum(starts[:, None] + j, r - 1)
+    send_ok = (j < lens[:, None]) & (dst[:, None] != me) & valid[idx]
 
-    send_k = jnp.where(valid, keys[idx], INT32_MAX)
-    send_i = jnp.stack([jnp.where(valid, f[idx], 0) for f in int_fields],
-                       axis=-1) if int_fields else None
-    send_f = jnp.stack([jnp.where(valid, f[idx], 0.0) for f in f32_fields],
-                       axis=-1) if f32_fields else None
+    send_k = jnp.where(send_ok, keys[idx], INT32_MAX)
+    send_sd = jnp.where(send_ok[:, :, None], sd_rows[idx], 0.0)
+    send_w = jnp.where(send_ok[:, :, None], w_rows[idx], 0.0)
 
     recv_k = jax.lax.all_to_all(send_k, axis, 0, 0, tiled=False).reshape(-1)
-    recv_i = []
-    if send_i is not None:
-        r = jax.lax.all_to_all(send_i, axis, 0, 0, tiled=False)
-        recv_i = [r.reshape(-1, len(int_fields))[:, i]
-                  for i in range(len(int_fields))]
-    recv_f = []
-    if send_f is not None:
-        r = jax.lax.all_to_all(send_f, axis, 0, 0, tiled=False)
-        recv_f = [r.reshape(-1, len(f32_fields))[:, i]
-                  for i in range(len(f32_fields))]
-    return recv_k, recv_i, recv_f, overflow
+    recv_sd = jax.lax.all_to_all(send_sd, axis, 0, 0,
+                                 tiled=False).reshape(-1, sd_rows.shape[1])
+    recv_w = jax.lax.all_to_all(send_w, axis, 0, 0,
+                                tiled=False).reshape(-1, w_rows.shape[1])
+
+    # rows that stay local: own-range rows + deferred (capacity-hit) rows
+    row_dst = jnp.clip(
+        jnp.searchsorted(bounds, keys, side="right").astype(jnp.int32) - 1,
+        0, n - 1)
+    pos_in_seg = jnp.arange(r, dtype=jnp.int32) - starts[row_dst]
+    sent = valid & (row_dst != me) & (pos_in_seg < c)
+    deferred = jnp.sum(valid & (row_dst != me) & (pos_in_seg >= c))
+    local_keys = jnp.where(valid & ~sent, keys, INT32_MAX)
+    return local_keys, recv_k, recv_sd, recv_w, deferred.astype(jnp.int32)
 
 
 def make_sharded_insert(config: MapConfig, mesh: Mesh,
-                        route_capacity: int | None = None,
-                        point_route_slack: float = 2.0,
+                        halo_capacity: int | None = None,
                         axis: str = "shard"):
     """Build the jitted SPMD insert step.
 
-    Returns ``step(state_stack, points, n_points, position) ->
-    (state_stack, metrics)`` where ``state_stack`` leaves carry a leading
-    device axis and ``points`` is (n_shards * max_points, 3) data-parallel.
+    Returns ``(step, halo_capacity)`` where ``step(state_stack, points,
+    n_points, position) -> (state_stack, metrics)``; ``state_stack`` leaves
+    carry a leading device axis and ``points`` is
+    (n_shards * max_points, 3) data-parallel (ideally Morton-contiguous per
+    shard, see :func:`morton_split`).
 
-    Two routing rounds per step: (1) points are routed to their voxel's
-    owner shard BEFORE normal estimation, so Morton neighbourhoods see the
-    full point set of their region (segments only clip at the rare shard
-    range boundary); (2) ray samples are routed to owner shards — the halo
-    exchange for truncation bands crossing shard borders.
+    ``metrics['route_overflow']`` counts halo rows *deferred* to the local
+    pool this step because the per-pair capacity was hit — deferred rows
+    keep their key locally and are merged exactly by
+    ``finalize_sharded``; no sample is ever lost to routing.
     """
     n_shards = mesh.devices.size
-    if route_capacity is None:
-        # uniform routing load + 2x safety slack
-        route_capacity = 2 * config.sample_capacity // max(n_shards, 1)
-    pt_capacity = int(point_route_slack * config.max_points
-                      / max(n_shards, 1))
+    if halo_capacity is None:
+        halo_capacity = default_halo_capacity(n_shards, config)
     bounds_np = key_bounds(n_shards, config)
+    scfg = scratch_config(config)
+    scb = scfg.block_capacity
+    # the combined row stream (local + received) can touch at most this many
+    # distinct blocks — give the merge plan exact headroom so it never drops
+    merge_cap = config.touched_capacity + n_shards * halo_capacity
+    merge_cfg = dataclasses.replace(config, touched_capacity=merge_cap)
 
     def shard_fn(state, points, n_points, position):
         state = jax.tree.map(lambda x: x[0], state)     # drop device axis
         points = points.reshape(-1, 3)
         bounds = jnp.asarray(bounds_np)
+        me = jax.lax.axis_index(axis)
 
-        # ---- round 1: route points to owners before normal estimation ----
-        px0, py0, pz0 = points[:, 0], points[:, 1], points[:, 2]
-        bkey, okey, pt_ovf = integrate.point_keys_soa(
-            px0, py0, pz0, n_points[0], state.origin_blocks, config)
-        sb, so, px0, py0, pz0 = integrate.sort_points_soa(
-            px0, py0, pz0, bkey, okey)
-        rk, (ro,), (px, py, pz), pt_route_ovf = _route_by_key(
-            sb, [so], [px0, py0, pz0], bounds, pt_capacity, axis)
-        rb2, ro2, px, py, pz = integrate.sort_points_soa(px, py, pz, rk, ro)
+        # ---- 1. full single-device pipeline into a fresh scratch pool ----
+        scratch = create_state(scfg, state.origin_blocks)
+        scratch, sm = integrate.insert_step_impl(
+            scratch, points, n_points[0], position, scfg)
 
-        s_bkey, s_okey, sd, _, samp_ovf = integrate.compute_sample_grids_soa(
-            px, py, pz, rb2, ro2, position, state.origin_blocks, config)
-        payload = integrate.pack_payload(s_okey, sd, config.sdf_trunc)
-        payload = jnp.where(s_bkey != integrate.INT32_MAX, payload, 0)
-        batch = integrate.SampleBatch(s_bkey.reshape(-1),
-                                      payload.reshape(-1), pt_ovf, samp_ovf)
-        batch = integrate.sort_samples(batch)
+        # ---- 2. extract consolidated block rows (key-sorted via dir) ----
+        keys = scratch.dir_keys                          # (scb,) ascending
+        slots = scratch.dir_slots
+        sd_rows = scratch.pool_sd[slots]
+        w_rows = scratch.pool_w[slots]
 
-        # ---- round 2: halo exchange of ray samples ----
-        sk, (spay,), _, s_route_ovf = _route_by_key(
-            batch.bkey, [batch.payload], [], bounds, route_capacity, axis)
-        batch = integrate.sort_samples(integrate.SampleBatch(
-            sk, spay, batch.pt_overflow, batch.samp_overflow))
+        # ---- 3. halo exchange of non-owned rows ----
+        local_k, recv_k, recv_sd, recv_w, deferred = _route_block_rows(
+            keys, sd_rows, w_rows, bounds, me, halo_capacity, axis)
 
-        state, metrics = integrate.update_pool(state, batch, config)
-        metrics["point_route_overflow"] = pt_route_ovf
-        metrics["route_overflow"] = s_route_ovf
+        # ---- 4. merge local + received rows into the persistent pool ----
+        pkeys = jnp.concatenate([local_k, recv_k]).reshape(-1, 1)
+        psd = jnp.concatenate([sd_rows, recv_sd])
+        pw = jnp.concatenate([w_rows, recv_w])
+        state, metrics = integrate.update_pool_tiled(
+            state, pkeys, psd, pw,
+            scratch.tile_overflow, sm["n_valid_samples"],
+            scratch.sample_overflow, scratch.point_overflow, merge_cfg,
+            interpret=jax.default_backend() != "tpu")
+        # scratch-level overflows are real capacity events — carry them over
+        state = dataclasses.replace(
+            state,
+            block_overflow=state.block_overflow + scratch.block_overflow,
+            touched_overflow=(state.touched_overflow +
+                              scratch.touched_overflow))
+
+        metrics["route_overflow"] = deferred
         metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
         state = jax.tree.map(lambda x: x[None], state)  # re-add device axis
         return state, metrics
@@ -182,9 +237,28 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
             shard_fn, mesh=mesh,
             in_specs=(pspec, P(axis), P(axis), P()),
             out_specs=(pspec, P()),
+            # pallas_call outputs carry no varying-mesh-axes annotation
+            check_vma=False,
         ),
         donate_argnums=(0,))
-    return step, route_capacity
+    return step, halo_capacity
+
+
+def morton_split(points: np.ndarray, n_shards: int, sdf_res: float):
+    """Host-side Morton-contiguous split of a scan for the sharded insert.
+
+    Sorts points by 63-bit world voxel Morton code and cuts the sorted
+    order into ``n_shards`` equal-count contiguous chunks, so each shard's
+    subset is spatially compact (complete normal neighbourhoods, minimal
+    halo).  Returns a list of (count_i, 3) arrays, sum(count_i) == N.
+    """
+    pts = np.asarray(points, np.float32)
+    if len(pts) == 0:
+        return [pts[:0] for _ in range(n_shards)]
+    vox = np.floor(pts.astype(np.float64) / sdf_res).astype(np.int64)
+    codes = morton.np_encode63(vox)
+    order = np.argsort(codes, kind="stable")
+    return np.array_split(pts[order], n_shards)
 
 
 def gather_states(state_stack) -> list[ActiveMapState]:

@@ -1,0 +1,123 @@
+"""ShardedTSDFMap — the user-facing sharded map orchestration.
+
+The multi-device counterpart of ``core.map.TSDFMap`` (reference
+``chad::TSDFMap``, include/chad/tsdf.hpp:21-171): same public surface —
+``insert(points, position)``, ``save(filename)``, submap rotation every
+``submap_distance`` metres of travel (src/chad/tsdf.cpp:46-61) — but the
+active map is Morton-range sharded over a device mesh and every insert runs
+the SPMD step of ``parallel.sharded`` (fused Pallas kernel per shard, block-
+row halo exchange).  Finalization merges the per-shard pools exactly
+(``core.submap.finalize_sharded``), so meshing, checkpointing, stats and the
+rest of the single-device API are inherited unchanged from TSDFMap.
+
+This is SURVEY §7 steps 5-6: sharded insert -> rotation -> sharded finalize
+-> mesh, one object.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..config import MapConfig
+from ..core import submap as submap_mod
+from ..core.map import TSDFMap
+from ..core.state import origin_blocks_for_position
+from . import sharded
+
+
+class ShardedTSDFMap(TSDFMap):
+    def __init__(self, sdf_res: float = 0.05, sdf_trunc: float = 0.1,
+                 config: MapConfig | None = None, mesh=None,
+                 halo_capacity: int | None = None, axis: str = "shard"):
+        super().__init__(sdf_res, sdf_trunc, config)
+        self.mesh = mesh if mesh is not None else sharded.make_mesh(axis=axis)
+        self.axis = axis
+        self.n_shards = int(self.mesh.devices.size)
+        self._step, self.halo_capacity = sharded.make_sharded_insert(
+            self.config, self.mesh, halo_capacity=halo_capacity, axis=axis)
+        self.state_stack = None
+
+    # -- the sharded active map replaces the single-device self.state ------
+    def insert(self, points, position) -> dict:
+        t0 = time.perf_counter()
+        points = np.ascontiguousarray(np.asarray(points, np.float32))
+        if points.ndim != 2 or points.shape[1] != 3:
+            raise ValueError("points must be (N, 3)")
+        position = np.asarray(position, np.float32).reshape(3)
+
+        if self.state_stack is None:
+            self._start_submap(position)
+        elif self._positions and np.linalg.norm(
+                position - self._positions[0]) > self.config.submap_distance:
+            self._finalize_active()
+            self._start_submap(position)
+        self._positions.append(position.copy())
+        self._active_snapshot = None
+
+        cap = self.config.max_points
+        batch = self.n_shards * cap
+        metrics_acc: dict = {}
+        for beg in range(0, max(len(points), 1), batch):
+            chunk = points[beg:beg + batch]
+            shards = sharded.morton_split(chunk, self.n_shards,
+                                          self.config.sdf_res)
+            padded = np.zeros((batch, 3), np.float32)
+            n_per = np.zeros((self.n_shards,), np.int32)
+            for i, c in enumerate(shards):
+                padded[i * cap:i * cap + len(c)] = c
+                n_per[i] = len(c)
+            self.state_stack, metrics = self._step(
+                self.state_stack, padded, n_per, position)
+            for k, v in metrics.items():
+                metrics_acc[k] = metrics_acc.get(k, 0) + int(v)
+        if self.config.profile:
+            jax.block_until_ready(self.state_stack.pool_sd)
+            metrics_acc["wall_ms"] = (time.perf_counter() - t0) * 1e3
+            print(f"insert   {metrics_acc.get('wall_ms', 0):8.2f} ms  "
+                  f"samples={metrics_acc['n_valid_samples']} "
+                  f"blocks={metrics_acc['n_blocks']} "
+                  f"deferred={metrics_acc['route_overflow']}")
+        self.last_metrics = metrics_acc
+        return metrics_acc
+
+    def _start_submap(self, position: np.ndarray) -> None:
+        origin = origin_blocks_for_position(position, self.config)
+        self.state_stack = sharded.create_sharded_state(
+            self.config, self.mesh, origin, axis=self.axis)
+        self._positions = []
+
+    def _finalize_active(self) -> None:
+        sm = submap_mod.finalize_sharded(
+            sharded.gather_states(self.state_stack), self.levels,
+            self.config, self._positions)
+        self.submaps.append(sm)
+
+    def _all_submaps(self):
+        out = list(self.submaps)
+        if self.state_stack is not None and \
+                int(self.state_stack.n_blocks.sum()) > 0:
+            if self._active_snapshot is None:
+                self._active_snapshot = submap_mod.finalize_sharded(
+                    sharded.gather_states(self.state_stack), self.levels,
+                    self.config, self._positions)
+            out.append(self._active_snapshot)
+        return out
+
+    def stats(self) -> dict:
+        s = self.levels.stats()
+        s["n_submaps"] = len(self.submaps)
+        s["n_shards"] = self.n_shards
+        if self.state_stack is not None:
+            st = self.state_stack
+            s["active_blocks"] = int(np.asarray(st.n_blocks).sum())
+            s["overflow"] = {
+                "points": int(np.asarray(st.point_overflow).sum()),
+                "samples": int(np.asarray(st.sample_overflow).sum()),
+                "blocks": int(np.asarray(st.block_overflow).sum()),
+                "touched": int(np.asarray(st.touched_overflow).sum()),
+                "tile": int(np.asarray(st.tile_overflow).sum()),
+            }
+        return s

@@ -59,6 +59,52 @@ def test_insert_step_fused_matches_xla(radius, expect_fallback):
     assert err.max() < 1e-4, err.max()
 
 
+def test_bf16_acc_matches_codec_quantization():
+    """The TPU path accumulates signed-distance sums in bf16 on the MXU
+    (ops/fused_integrate.py acc_dtype).  Force that dtype in interpret mode
+    and require (a) weights exactly equal (0/1 products are exact in bf16),
+    (b) the raw mean drift to stay below the codec's trunc/127 step, and
+    (c) the persisted 8-bit codes to differ by at most ONE step and only on
+    a small fraction of voxels (floor quantization flips a code whenever
+    the half-step bf16 drift crosses a bin boundary — bit-identity is not
+    attainable, measured ~3% single-step flips on this workload)."""
+    from chad_tsdf_tpu.ops import codec
+
+    cfg = MapConfig(max_points=2048, block_capacity=8192,
+                    touched_capacity=8192, accumulate_impl="fused")
+    pts = _sphere_points(2048, r=0.25, seed=1)
+    pos = np.zeros(3, np.float32)
+    origin = origin_blocks_for_position(pos, cfg)
+
+    outs = {}
+    for name, acc in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        st = create_state(cfg, origin)
+        st, m = integrate.insert_step_fused(
+            st, jnp.asarray(pts), jnp.int32(2048), jnp.asarray(pos), cfg,
+            interpret=True, acc_dtype=acc)
+        nbk = int(st.n_blocks)
+        sl = np.asarray(st.dir_slots)[:nbk]
+        outs[name] = (np.asarray(st.dir_keys)[:nbk],
+                      np.asarray(st.pool_sd)[sl], np.asarray(st.pool_w)[sl])
+
+    kf, sdf32, wf32 = outs["f32"]
+    kb, sdb16, wb16 = outs["bf16"]
+    np.testing.assert_array_equal(kb, kf)
+    np.testing.assert_array_equal(wb16, wf32)          # weights exact
+
+    occ = wf32 > 0
+    mean32 = np.where(occ, sdf32 / np.maximum(wf32, 1), 0.0)
+    mean16 = np.where(occ, sdb16 / np.maximum(wb16, 1), 0.0)
+    # raw bf16 drift stays well under the codec step trunc/127
+    drift = np.abs(mean16 - mean32)[occ]
+    assert drift.max() < cfg.sdf_trunc / 127, drift.max()
+    q32 = codec.encode_sd(np, mean32[occ], cfg.sdf_trunc)
+    q16 = codec.encode_sd(np, mean16[occ], cfg.sdf_trunc)
+    exact = (q32 == q16).mean()
+    assert exact > 0.95, exact
+    assert np.abs(q32.astype(np.int32) - q16.astype(np.int32)).max() <= 1
+
+
 def test_fused_incremental_and_determinism():
     cfg = MapConfig(max_points=1024, block_capacity=2048,
                     touched_capacity=2048, accumulate_impl="fused")

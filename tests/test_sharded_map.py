@@ -1,0 +1,84 @@
+"""End-to-end ShardedTSDFMap: the user-facing sharded orchestration
+(insert -> submap rotation -> finalize_sharded -> mesh) must reproduce the
+single-device TSDFMap on the same scans (SURVEY §7 steps 5-6)."""
+
+import numpy as np
+import jax
+import pytest
+
+from chad_tsdf_tpu.config import MapConfig
+from chad_tsdf_tpu.core.map import TSDFMap
+from chad_tsdf_tpu.parallel import ShardedTSDFMap, make_mesh
+
+CFG = MapConfig(max_points=512, block_capacity=4096, touched_capacity=2048,
+                accumulate_impl="xla")
+
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def sphere_points(n, r=2.0, seed=0, centre=(0.0, 0.0, 0.0)):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (np.float32(centre) + d * r).astype(np.float32)
+
+
+@needs_mesh
+def test_sharded_map_matches_single_device():
+    pts = sphere_points(4096)
+    pos = np.zeros(3, np.float32)
+
+    smap = ShardedTSDFMap(config=CFG, mesh=make_mesh(8))
+    smap.insert(pts, pos)
+    assert smap.last_metrics["route_overflow"] == 0
+
+    ref = TSDFMap(config=CFG)
+    for beg in range(0, 4096, CFG.max_points):
+        ref.insert(pts[beg:beg + CFG.max_points], pos)
+
+    codes_s, sd_s = smap.voxel_samples()
+    codes_r, sd_r = ref.voxel_samples()
+    np.testing.assert_array_equal(codes_s, codes_r)
+    # normals differ at shard boundaries (sharded) vs chunk boundaries
+    # (single-device streams 512-point chunks) — both quantized to 8 bits
+    step = CFG.sdf_trunc / 127
+    close = np.abs(sd_s - sd_r) <= 2 * step
+    assert close.mean() > 0.98
+
+    mesh_s = smap.extract_mesh()
+    mesh_r = ref.extract_mesh()
+    # mesh vertices live on the same voxel grid; counts nearly identical
+    assert abs(len(mesh_s.vertices) - len(mesh_r.vertices)) <= \
+        0.02 * len(mesh_r.vertices) + 2
+    # every sharded vertex must lie near the analytic r=2 sphere
+    rr = np.linalg.norm(mesh_s.vertices, axis=1)
+    assert np.abs(rr - 2.0).max() < 3 * CFG.sdf_res
+
+
+@needs_mesh
+def test_sharded_map_rotation_and_save(tmp_path):
+    smap = ShardedTSDFMap(config=CFG, mesh=make_mesh(8))
+    smap.insert(sphere_points(2048, r=1.5), np.zeros(3, np.float32))
+    # travel > submap_distance triggers rotation (tsdf.cpp:46-61 policy)
+    far = np.float32([8.0, 0.0, 0.0])
+    smap.insert(sphere_points(2048, r=1.5, seed=2, centre=(8.0, 0.0, 0.0)),
+                far)
+    assert len(smap.submaps) == 1            # first submap finalized
+    stats = smap.stats()
+    assert stats["n_submaps"] == 1
+    assert stats["active_blocks"] > 0
+
+    out = tmp_path / "sharded.ply"
+    smap.save(str(out))
+    assert out.exists() and out.stat().st_size > 0
+
+    # both spheres must be present in the merged mesh
+    mesh = smap.extract_mesh()
+    v = mesh.vertices
+    d0 = np.linalg.norm(v, axis=1)
+    d1 = np.linalg.norm(v - far[None, :], axis=1)
+    near0 = np.abs(d0 - 1.5) < 3 * CFG.sdf_res
+    near1 = np.abs(d1 - 1.5) < 3 * CFG.sdf_res
+    assert near0.sum() > 50 and near1.sum() > 50
+    assert (near0 | near1).all()
