@@ -100,12 +100,57 @@ def main():
           f"(rounds: {[f'{r*1e3:.1f}' for r in per_round]})", file=sys.stderr)
     print(f"per-insert-synced: {single*1e3:.1f} ms "
           f"(includes ~28 ms tunnel round trip)", file=sys.stderr)
+
+    # ---- secondary metric: KITTI-shaped streaming scans/s (sparse ~120k-pt
+    # scans through the bucketed TSDFMap path, incl. tile-overflow fallback
+    # and submap rotations) — BASELINE.json config 2 without the dataset ----
+    extra = {}
+    try:
+        extra = _kitti_shaped_stream()
+    except Exception as e:  # never jeopardize the primary metric
+        print(f"kitti-shaped bench failed: {e!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "tsdf_integrate_points_per_sec",
         "value": round(pts_per_sec),
         "unit": "points/s",
         "vs_baseline": round(pts_per_sec / 50e6, 4),
+        **extra,
     }))
+
+
+def _kitti_shaped_stream(n_scans: int = 12):
+    import time
+
+    import numpy as np
+
+    from chad_tsdf_tpu.core.map import TSDFMap
+    from chad_tsdf_tpu.config import MapConfig
+    from chad_tsdf_tpu.io.kitti import synthetic_lidar_scan
+
+    config = MapConfig()          # default buckets: 128k fits a ~120k scan
+    m = TSDFMap(config=config)
+    scans = [(synthetic_lidar_scan([1.5 * i, 0.0, 0.0], seed=i),
+              np.float32([1.5 * i, 0.0, 1.7])) for i in range(n_scans)]
+    # warm both the integrate bucket and the rotation path
+    m.insert(scans[0][0], scans[0][1])
+    import jax
+    np.asarray(m.state.pool_sd[0, 0])
+
+    t0 = time.perf_counter()
+    total_pts = 0
+    for pts, pos in scans[1:]:
+        m.insert(pts, pos)
+        total_pts += len(pts)
+    np.asarray(m.state.pool_sd[0, 0])
+    dt = time.perf_counter() - t0
+    scans_per_s = (len(scans) - 1) / dt
+    print(f"kitti-shaped: {scans_per_s:.1f} scans/s, "
+          f"{total_pts / dt / 1e6:.2f} M pts/s, "
+          f"tile_overflow={int(m.state.tile_overflow)}, "
+          f"submaps={len(m.submaps)}", file=sys.stderr)
+    return {"kitti_scans_per_sec": round(scans_per_s, 2),
+            "kitti_points_per_sec": round(total_pts / dt)}
 
 
 if __name__ == "__main__":

@@ -36,6 +36,13 @@ class MapConfig:
     # --- static capacities (TPU: shapes are compile-time constants) ---
     # max points per insert() call; longer clouds are processed in chunks
     max_points: int = 1 << 20
+    # compile-shape buckets for streaming inserts: a scan is padded to the
+    # smallest bucket that fits instead of always paying the full
+    # max_points pipeline (a 120k-point KITTI scan would waste ~88% of a
+    # 1M-point compile shape).  None = auto {max_points / 8,4,2,1} clipped
+    # to multiples of 1024; () = single shape (old behaviour).  Each bucket
+    # is a separate XLA compilation, traced on first use.
+    point_buckets: tuple | None = None
     # DDA ray-sample slots per point; None = auto from trunc/res (see dda_steps)
     max_steps: int | None = None
     # capacity of the active block pool (blocks of 8x8x8 voxels).  The
@@ -59,6 +66,10 @@ class MapConfig:
     # write the LVR2-compatible binary .grid dump on save() (lvr2.cpp:290
     # writes it unconditionally; here it is opt-in)
     save_grid: bool = False
+    # marching cubes backend: 'auto' -> device (JAX classify + tri-table
+    # gather + compaction, mesh/device_mc.py) on TPU, host numpy elsewhere;
+    # or force 'device' / 'host'
+    mesh_impl: str = "auto"
 
     # --- execution ---
     # 'auto' -> 'fused' on TPU (one Pallas kernel for DDA + signed distance
@@ -85,14 +96,33 @@ class MapConfig:
         """Ray-sample slots per point.
 
         The Amanatides–Woo traversal (reference octree.hpp:92-152) visits
-        ``sum_axis |v_final - v_start| + 1`` voxels, bounded by
-        ``2*trunc/res * (|dx|+|dy|+|dz|) + 3`` with the L1 norm of a unit
-        direction at most sqrt(3).
+        ``sum_axis |v_final - v_start| + 1`` voxels.  Per axis
+        ``|v_final - v_start| <= span_axis/res + 1`` (a floor difference),
+        and ``sum_axis span_axis = 2*trunc*L1(dir) <= 2*trunc*sqrt(3)``, so
+        ``ceil(2*trunc/res * sqrt(3)) + 3`` slots (+1 start voxel, +3 for
+        the per-axis floor boundaries) provably cover every ray.
         """
         if self.max_steps is not None:
             return self.max_steps
         ratio = 2.0 * self.sdf_trunc / self.sdf_res
-        return int(math.ceil(ratio * math.sqrt(3.0))) + 4
+        return int(math.ceil(ratio * math.sqrt(3.0))) + 3
+
+    @property
+    def buckets(self) -> tuple:
+        """Resolved ascending compile-shape buckets (always ends with
+        max_points; every entry a multiple of 4096 so the fused/tile kernels
+        accept it)."""
+        if self.point_buckets is not None:
+            bs = {min(int(b), self.max_points) for b in self.point_buckets}
+        elif self.max_points % 4096 == 0 and self.max_points >= 1 << 15:
+            bs = {self.max_points >> s for s in (3, 2, 1)}
+        else:
+            bs = set()
+        out = {self.max_points}
+        for b in bs:
+            if b >= 4096 and b % 4096 == 0:
+                out.add(b)
+        return tuple(sorted(out))
 
     @property
     def blocks_per_axis(self) -> int:
@@ -122,3 +152,5 @@ class MapConfig:
             raise ValueError("tile_nb must be a positive multiple of 8")
         if self.normals_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"bad normals_impl {self.normals_impl!r}")
+        if self.mesh_impl not in ("auto", "device", "host"):
+            raise ValueError(f"bad mesh_impl {self.mesh_impl!r}")

@@ -249,14 +249,20 @@ def _directory_update(state: ActiveMapState, tb_keys, tvalid,
                          jnp.where(fits, slot_if_new, reserved_row))
     tb_slots = jnp.where(tvalid, tb_slots, reserved_row)
 
-    # rebuild the sorted directory by merging the new keys
-    append_keys = jnp.where(is_new & fits, tb_keys, INT32_MAX)
-    append_slots = jnp.where(is_new & fits, slot_if_new, 0)
-    mk = jnp.concatenate([state.dir_keys, append_keys])
-    ms = jnp.concatenate([state.dir_slots, append_slots])
-    mk, ms = jax.lax.sort((mk, ms), num_keys=1)
-    dir_keys = mk[:cb]
-    dir_slots = ms[:cb]
+    # rebuild the sorted directory by merging the new keys; steady-state
+    # inserts (no new blocks) skip the O(cb log cb) sort entirely
+    def rebuild(_):
+        append_keys = jnp.where(is_new & fits, tb_keys, INT32_MAX)
+        append_slots = jnp.where(is_new & fits, slot_if_new, 0)
+        mk = jnp.concatenate([state.dir_keys, append_keys])
+        ms = jnp.concatenate([state.dir_slots, append_slots])
+        mk, ms = jax.lax.sort((mk, ms), num_keys=1)
+        return mk[:cb], ms[:cb]
+
+    def keep(_):
+        return state.dir_keys, state.dir_slots
+
+    dir_keys, dir_slots = jax.lax.cond(n_new > 0, rebuild, keep, None)
     n_blocks = jnp.minimum(state.n_blocks + n_new, usable_blocks)
     return (dir_keys, dir_slots, n_blocks, tb_slots, n_new, block_overflow)
 
@@ -394,9 +400,28 @@ def update_pool_tiled(state: ActiveMapState, pkeys, psd, pw, tile_ovf,
         n_live = jnp.sum(slot_s != reserved_row).astype(jnp.int32)
         ng, gstart, glen, grow, prow = tile_accum.plan_merge(
             slot_s, n_live, cb, t_cap)
-        pool_sd, pool_w = tile_accum.merge_partials(
-            state.pool_sd, state.pool_w, ng, gstart, glen, grow, prow,
-            gsd, gw, interpret=False)
+
+        # dispatch on the LIVE group count: the merge grid is static, and a
+        # typical insert touches ~n_blocks/8 groups (a few hundred) — padding
+        # the grid to touched_capacity costs ~0.2 us per dead step, several
+        # ms per insert at defaults.  lax.cond picks the smallest compiled
+        # grid that fits (dead entries map to the reserved tail group, so a
+        # sliced prefix of the plan tables is itself a valid plan).
+        def merge_with(g_cap_b):
+            def run(args):
+                pool_sd, pool_w, gsd, gw = args
+                return tile_accum.merge_partials(
+                    pool_sd, pool_w, ng, gstart[:g_cap_b], glen[:g_cap_b],
+                    grow[:g_cap_b], prow, gsd, gw, interpret=False)
+            return run
+
+        buckets = sorted({min(t_cap, max(256, t_cap // 16)),
+                          min(t_cap, max(256, t_cap // 4)), t_cap})
+        args = (state.pool_sd, state.pool_w, gsd, gw)
+        branch = len(buckets) - 1 - sum(
+            ng[0] <= b for b in buckets[:-1])
+        pool_sd, pool_w = jax.lax.switch(
+            branch, [merge_with(b) for b in buckets], args)
 
     new_state = ActiveMapState(
         dir_keys=dir_keys, dir_slots=dir_slots, n_blocks=n_blocks,

@@ -85,13 +85,18 @@ class TSDFMap:
         self._active_snapshot = None
 
         cap = self.config.max_points
+        buckets = self.config.buckets
         metrics_acc: dict = {}
         for beg in range(0, max(len(points), 1), cap):
             chunk = points[beg:beg + cap]
             n = chunk.shape[0]
-            if n < cap:
+            # pad to the smallest compile-shape bucket that fits: streaming
+            # scans (e.g. ~120k-point KITTI) skip most of the 1M-point
+            # pipeline instead of paying full-shape padding every insert
+            bucket = next((b for b in buckets if b >= n), cap)
+            if n < bucket:
                 chunk = np.concatenate(
-                    [chunk, np.zeros((cap - n, 3), np.float32)])
+                    [chunk, np.zeros((bucket - n, 3), np.float32)])
             self.state, metrics = integrate.insert_step(
                 self.state, chunk, np.int32(n), position, self.config)
             for k, v in metrics.items():
@@ -160,7 +165,14 @@ class TSDFMap:
         if self.config.mesh_first_submap_only and submaps:
             submaps = submaps[:1]   # reference parity (tsdf.cpp:85)
         codes, sd = self.voxel_samples(submaps)
-        mesh = marching_cubes(codes, sd, self.config.sdf_res)
+        impl = self.config.mesh_impl
+        if impl == "auto":
+            impl = "device" if jax.default_backend() == "tpu" else "host"
+        if impl == "device":
+            from ..mesh.device_mc import marching_cubes_device
+            mesh = marching_cubes_device(codes, sd, self.config.sdf_res)
+        else:
+            mesh = marching_cubes(codes, sd, self.config.sdf_res)
         if optimize_iterations > 0:
             from ..mesh.optimize import taubin_smooth
             mesh = taubin_smooth(mesh, optimize_iterations)
@@ -171,8 +183,22 @@ class TSDFMap:
 
         Writes the optional .grid dump first when config.save_grid is set
         (the reference writes "hashgrid.grid" unconditionally, lvr2.cpp:290).
+        With ``config.profile`` the ``sub fin`` / ``mesh`` stages print wall
+        times — together with insert's stage prints this mirrors the
+        reference's six always-on timers (morton.hpp:78,100, normals.hpp:146,
+        octree.hpp:169, submap.hpp:105, tsdf.cpp:74).
         """
+        t0 = time.perf_counter()
+        submaps = self._all_submaps()      # finalizes the active snapshot
+        t_fin = time.perf_counter() - t0
         mesh = self.extract_mesh()
+        t_mesh = time.perf_counter() - t0 - t_fin
+        if self.config.profile:
+            print(f"sub fin  {t_fin * 1e3:8.2f} ms")
+            print(f"mesh     {t_mesh * 1e3:8.2f} ms  "
+                  f"({mesh.n_vertices} verts, {mesh.n_faces} faces)")
+        self.last_metrics["sub_fin_ms"] = t_fin * 1e3
+        self.last_metrics["mesh_ms"] = t_mesh * 1e3
         if self.config.save_grid:
             codes, sd = self.voxel_samples()
             grid_io.write_grid("hashgrid.grid", codes, sd,

@@ -29,7 +29,7 @@ from ..core import dag
 from ..core.map import TSDFMap
 from ..core.submap import Submap
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def save_checkpoint(path: str, m: TSDFMap) -> None:
@@ -45,6 +45,13 @@ def save_checkpoint(path: str, m: TSDFMap) -> None:
             for sm in m.submaps
         ],
         "has_active": m.state is not None,
+        # round-trip the per-level dedup counters (they are the compression
+        # metric; v1 checkpoints lost dupes_n on load)
+        "level_counters": {
+            "nodes": [[lv.uniques_n, lv.dupes_n] for lv in m.levels.nodes],
+            "leaf_clusters": [m.levels.leaf_clusters.uniques_n,
+                              m.levels.leaf_clusters.dupes_n],
+        },
     }
     for d, lv in enumerate(m.levels.nodes):
         arrays[f"node_level_{d}"] = lv.raw.copy()
@@ -53,11 +60,16 @@ def save_checkpoint(path: str, m: TSDFMap) -> None:
         arrays[f"submap_{i}_positions"] = np.asarray(sm.positions,
                                                     np.float32).reshape(-1, 3)
     if m.state is not None:
+        # occupied-only pool serialization: allocation is sequential
+        # (core/integrate._directory_update assigns slot = n_blocks + rank),
+        # so live rows are exactly pool[:n_blocks] — a dense-default 256 MiB
+        # pool checkpoint shrinks to its occupied prefix
         nb = int(m.state.n_blocks)
-        arrays["active_dir_keys"] = np.asarray(m.state.dir_keys)
-        arrays["active_dir_slots"] = np.asarray(m.state.dir_slots)
-        arrays["active_pool_sd"] = np.asarray(m.state.pool_sd)
-        arrays["active_pool_w"] = np.asarray(m.state.pool_w)
+        dir_keys = np.asarray(m.state.dir_keys)
+        arrays["active_dir_keys"] = dir_keys[:nb]
+        arrays["active_dir_slots"] = np.asarray(m.state.dir_slots)[:nb]
+        arrays["active_pool_sd"] = np.asarray(m.state.pool_sd)[:nb]
+        arrays["active_pool_w"] = np.asarray(m.state.pool_w)[:nb]
         arrays["active_origin"] = np.asarray(m.state.origin_blocks)
         arrays["active_counters"] = np.asarray([
             nb, int(m.state.point_overflow), int(m.state.sample_overflow),
@@ -77,7 +89,7 @@ def load_checkpoint(path: str) -> TSDFMap:
 
     z = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(z["__meta__"]).decode())
-    if meta["format_version"] != FORMAT_VERSION:
+    if meta["format_version"] not in (1, FORMAT_VERSION):
         raise ValueError(f"unsupported checkpoint version "
                          f"{meta['format_version']}")
     config = MapConfig(**meta["config"])
@@ -86,6 +98,12 @@ def load_checkpoint(path: str) -> TSDFMap:
     for d in range(dag.MAX_DEPTH):
         _restore_node_level(m.levels.nodes[d], z[f"node_level_{d}"])
     _restore_lc_level(m.levels.leaf_clusters, z["leaf_clusters"])
+    lc = meta.get("level_counters")
+    if lc is not None:   # exact dedup-counter round trip (v2)
+        for lv, (u, dup) in zip(m.levels.nodes, lc["nodes"]):
+            _set_counters(lv, int(u), int(dup))
+        _set_counters(m.levels.leaf_clusters, int(lc["leaf_clusters"][0]),
+                      int(lc["leaf_clusters"][1]))
 
     for i, sm_meta in enumerate(meta["submaps"]):
         pos = [p for p in z[f"submap_{i}_positions"]]
@@ -96,12 +114,24 @@ def load_checkpoint(path: str) -> TSDFMap:
         counters = [int(x) for x in z["active_counters"]]
         counters += [0] * (6 - len(counters))   # older checkpoints
         nb, po, so, bo, to, tlo = counters
+        cb = config.block_capacity
+
+        def pad_to(a, n, fill):
+            a = np.asarray(a)
+            if a.shape[0] >= n:
+                return a
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            out[:a.shape[0]] = a
+            return out
+
+        INT32_MAX = np.int32(2**31 - 1)
         m.state = ActiveMapState(
-            dir_keys=jnp.asarray(z["active_dir_keys"]),
-            dir_slots=jnp.asarray(z["active_dir_slots"]),
+            dir_keys=jnp.asarray(pad_to(z["active_dir_keys"], cb,
+                                        INT32_MAX)),
+            dir_slots=jnp.asarray(pad_to(z["active_dir_slots"], cb, 0)),
             n_blocks=jnp.int32(nb),
-            pool_sd=jnp.asarray(z["active_pool_sd"]),
-            pool_w=jnp.asarray(z["active_pool_w"]),
+            pool_sd=jnp.asarray(pad_to(z["active_pool_sd"], cb, 0.0)),
+            pool_w=jnp.asarray(pad_to(z["active_pool_w"], cb, 0.0)),
             origin_blocks=jnp.asarray(z["active_origin"]),
             point_overflow=jnp.int32(po), sample_overflow=jnp.int32(so),
             block_overflow=jnp.int32(bo), touched_overflow=jnp.int32(to),
@@ -109,6 +139,13 @@ def load_checkpoint(path: str) -> TSDFMap:
         )
         m._positions = [p for p in z["active_positions"]]
     return m
+
+
+def _set_counters(lv, uniques: int, dupes: int) -> None:
+    if hasattr(lv, "set_counters"):     # native backend (read-only props)
+        lv.set_counters(uniques, dupes)
+    else:
+        lv.uniques_n, lv.dupes_n = uniques, dupes
 
 
 def _restore_node_level(lv, raw: np.ndarray) -> None:

@@ -82,3 +82,53 @@ class KittiSequence:
             pts = scan @ t[:3, :3].T + t[:3, 3]
             position = t[:3, 3].astype(np.float32)
             yield pts.astype(np.float32), position
+
+
+def synthetic_lidar_scan(position, seed: int = 0, beams: int = 64,
+                         azimuths: int = 2048,
+                         max_range: float = 60.0) -> np.ndarray:
+    """KITTI-shaped synthetic scan: a rotating ``beams``-channel LiDAR over
+    a ground plane with scattered box obstacles (~``beams*azimuths`` points
+    before range culling, ~131k like a real HDL-64E sweep).
+
+    Deterministic in (seed); used by bench.py's streaming benchmark when no
+    real dataset is present (none ships with the repo).
+    """
+    position = np.asarray(position, np.float64)
+    az = np.linspace(-np.pi, np.pi, azimuths, endpoint=False)
+    el = np.deg2rad(np.linspace(-24.8, 2.0, beams))
+    a, e = np.meshgrid(az, el, indexing="ij")
+    d = np.stack([np.cos(e) * np.cos(a), np.cos(e) * np.sin(a),
+                  np.sin(e)], axis=-1).reshape(-1, 3)        # (A*B, 3)
+
+    sensor_h = 1.7
+    origin = position + np.array([0.0, 0.0, sensor_h])
+
+    # ground plane z = 0
+    t_ground = np.where(d[:, 2] < -1e-6, -origin[2] / d[:, 2], np.inf)
+
+    # deterministic boxes (axis-aligned pillars) along the path
+    rng = np.random.default_rng(seed)
+    n_boxes = 40
+    centres = np.stack([rng.uniform(-40, 120, n_boxes),
+                        rng.uniform(-25, 25, n_boxes),
+                        np.zeros(n_boxes)], axis=-1)
+    half = np.stack([rng.uniform(0.3, 2.0, n_boxes),
+                     rng.uniform(0.3, 2.0, n_boxes),
+                     rng.uniform(1.0, 6.0, n_boxes)], axis=-1)
+    t_hit = t_ground
+    for c, h in zip(centres, half):
+        lo = (c - h + np.array([0, 0, h[2]])) - origin
+        hi = (c + h + np.array([0, 0, h[2]])) - origin
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = lo[None, :] / d
+            t2 = hi[None, :] / d
+        tmin = np.nanmax(np.minimum(t1, t2), axis=1)
+        tmax = np.nanmin(np.maximum(t1, t2), axis=1)
+        hit = (tmax >= tmin) & (tmax > 0)
+        t_box = np.where(hit, np.maximum(tmin, 1e-3), np.inf)
+        t_hit = np.minimum(t_hit, t_box)
+
+    ok = np.isfinite(t_hit) & (t_hit > 1.0) & (t_hit < max_range)
+    pts = origin[None, :] + t_hit[ok, None] * d[ok]
+    return pts.astype(np.float32)

@@ -151,6 +151,10 @@ class NativeNodeLevel:
         self._lib.nodelevel_restore(self._ptr, _u32(raw),
                                     ctypes.c_uint64(raw.shape[0]))
 
+    def set_counters(self, uniques: int, dupes: int) -> None:
+        self._lib.nodelevel_set_counters(self._ptr, ctypes.c_uint64(uniques),
+                                         ctypes.c_uint64(dupes))
+
 
 class NativeLeafClusterLevel:
     """Drop-in replacement for core.dag.LeafClusterLevel backed by C++."""
@@ -201,3 +205,7 @@ class NativeLeafClusterLevel:
         raw = np.ascontiguousarray(raw, np.uint64)
         self._lib.lclevel_restore(self._ptr, _u64(raw),
                                   ctypes.c_uint64(raw.shape[0]))
+
+    def set_counters(self, uniques: int, dupes: int) -> None:
+        self._lib.lclevel_set_counters(self._ptr, ctypes.c_uint64(uniques),
+                                       ctypes.c_uint64(dupes))

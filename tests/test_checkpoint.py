@@ -75,3 +75,65 @@ def test_insert_continues_after_load(tmp_path):
     before = int(m2.state.n_blocks)
     m2.insert(sphere_points(1024, seed=4, r=1.2), np.zeros(3))
     assert int(m2.state.n_blocks) >= before
+
+
+def test_elastic_recovery_after_crash(tmp_path):
+    """SURVEY §5.3 failure recovery: kill a streaming run mid-mission,
+    reload the last checkpoint, re-integrate only the scans since it, and
+    require the recovered map to equal the uninterrupted run exactly
+    (deterministic pipeline => bit-equal pools and DAGs)."""
+    cfg = MapConfig(**SMALL)
+    scans = [(sphere_points(1024, r=1.0 + 0.1 * i, seed=10 + i),
+              np.zeros(3, np.float32)) for i in range(5)]
+
+    # uninterrupted oracle
+    oracle = TSDFMap(config=cfg)
+    for pts, pos in scans:
+        oracle.insert(pts, pos)
+
+    # crashed run: checkpoint after scan 2, "lose" scans 3-4 in the crash
+    victim = TSDFMap(config=cfg)
+    for pts, pos in scans[:3]:
+        victim.insert(pts, pos)
+    ckpt = str(tmp_path / "mid.npz")
+    save_checkpoint(ckpt, victim)
+    victim.insert(*scans[3])          # integrated but never checkpointed
+    del victim                        # the crash
+
+    recovered = load_checkpoint(ckpt)
+    for pts, pos in scans[3:]:        # re-integrate everything since ckpt
+        recovered.insert(pts, pos)
+
+    np.testing.assert_array_equal(np.asarray(recovered.state.pool_sd),
+                                  np.asarray(oracle.state.pool_sd))
+    np.testing.assert_array_equal(np.asarray(recovered.state.pool_w),
+                                  np.asarray(oracle.state.pool_w))
+    c1, s1 = oracle.voxel_samples()
+    c2, s2 = recovered.voxel_samples()
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_counters_roundtrip_and_compact_pool(tmp_path):
+    """v2 checkpoints: dedup counters survive load exactly and the active
+    pool serializes only its occupied prefix."""
+    cfg = MapConfig(**SMALL)
+    m = TSDFMap(config=cfg)
+    m.insert(sphere_points(2048), np.zeros(3))
+    m._finalize_active()
+    # force dupes: identical geometry again in a fresh submap
+    m._start_submap(np.zeros(3, np.float32))
+    m.insert(sphere_points(2048), np.zeros(3))
+    m._finalize_active()
+    m._start_submap(np.zeros(3, np.float32))
+    m.insert(sphere_points(512, seed=3), np.zeros(3))
+
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, m)
+    m2 = load_checkpoint(p)
+    assert m2.stats() == m.stats()    # uniques AND dupes identical
+
+    # occupied-only: stored pool rows == n_blocks, not block_capacity
+    z = np.load(p)
+    assert z["active_pool_sd"].shape[0] == int(m.state.n_blocks)
+    assert z["active_pool_sd"].shape[0] < cfg.block_capacity

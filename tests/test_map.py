@@ -136,3 +136,32 @@ def test_chunking_large_cloud():
     metrics = m.insert(pts, np.zeros(3))
     assert metrics["n_valid_samples"] > cfg.max_points * 4
     assert int(m.state.point_overflow) == 0
+
+
+def test_bucketed_insert_matches_full_shape():
+    """Streaming right-sizing: a short scan runs in the smallest compile
+    bucket and produces the identical map as the full-shape padding."""
+    from chad_tsdf_tpu.config import MapConfig
+    from chad_tsdf_tpu.core.map import TSDFMap
+
+    pts = sphere_points(3000, r=1.0, seed=5)
+    pos = np.zeros(3, np.float32)
+
+    cfg_b = MapConfig(max_points=8192, block_capacity=4096,
+                      touched_capacity=2048, accumulate_impl="xla",
+                      point_buckets=(4096,))
+    assert cfg_b.buckets == (4096, 8192)
+    m_b = TSDFMap(config=cfg_b)
+    m_b.insert(pts, pos)
+
+    cfg_f = MapConfig(max_points=8192, block_capacity=4096,
+                      touched_capacity=2048, accumulate_impl="xla",
+                      point_buckets=())
+    assert cfg_f.buckets == (8192,)
+    m_f = TSDFMap(config=cfg_f)
+    m_f.insert(pts, pos)
+
+    c1, s1 = m_b.voxel_samples()
+    c2, s2 = m_f.voxel_samples()
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(s1, s2)

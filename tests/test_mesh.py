@@ -144,3 +144,73 @@ def test_taubin_smoothing_improves_noisy_sphere():
     r1 = np.linalg.norm(sm.vertices, axis=1)
     assert abs(r1.mean() - r0.mean()) < 0.005   # no shrink/inflate
     assert r1.std() < r0.std()                  # staircase noise reduced
+
+
+def test_device_mc_matches_host_mc():
+    """The JAX marching-cubes backend must weld to the identical vertex set
+    and triangle set as the numpy oracle (order-independent comparison —
+    the two pipelines enumerate cells in different orders)."""
+    from chad_tsdf_tpu.mesh.device_mc import marching_cubes_device
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(20000, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = (d * 1.0).astype(np.float32)
+
+    # build sparse samples via a real map (covers block-boundary cells)
+    from chad_tsdf_tpu import MapConfig, TSDFMap
+    m = TSDFMap(config=MapConfig(max_points=20480, block_capacity=4096,
+                                 touched_capacity=4096,
+                                 accumulate_impl="xla"))
+    m.insert(pts, np.zeros(3))
+    codes, sd = m.voxel_samples()
+    assert codes.shape[0] > 1000
+
+    host = marching_cubes(codes, sd, 0.05)
+    dev = marching_cubes_device(codes, sd, 0.05, cell_cap=1024)  # force retry
+
+    # vertices are keyed by sorted unique canonical edge keys -> identical
+    np.testing.assert_allclose(dev.vertices, host.vertices, atol=1e-6)
+    # faces as canonical sorted set
+    f1 = {tuple(sorted(f)) for f in host.faces.tolist()}
+    f2 = {tuple(sorted(f)) for f in dev.faces.tolist()}
+    assert f1 == f2
+    assert dev.faces.shape == host.faces.shape
+
+
+def test_golden_mesh_regression():
+    """Golden-mesh fidelity scaffold (BASELINE "matches reference mesh"
+    proxy): rebuild the fixed-seed sphere workload from scratch and require
+    (a) the voxel set to match the committed golden exactly, and (b) vertex
+    RMSE vs the golden mesh below a tenth of the quantization step.
+    Regenerate via tools/make_golden.py only on intentional numerics
+    changes."""
+    import os
+    from chad_tsdf_tpu import MapConfig, TSDFMap
+    from chad_tsdf_tpu.mesh.rmse import analytic_sphere_rmse, vertex_rmse
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "sphere_r2_seed420.npz"))
+    rng = np.random.default_rng(420)
+    d = rng.uniform(-1.0, 1.0, (65536, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = (d * 2.0).astype(np.float32)
+
+    m = TSDFMap(config=MapConfig(max_points=65536, block_capacity=16384,
+                                 touched_capacity=8192,
+                                 accumulate_impl="xla", mesh_impl="host"))
+    m.insert(pts, np.zeros(3, np.float32))
+    codes, sd = m.voxel_samples()
+    np.testing.assert_array_equal(codes, g["codes"])
+    # sd is quantized to trunc/127 by the codec; exact equality expected on
+    # an unchanged pipeline, but allow one step for cross-platform f32 drift
+    step = 0.1 / 127
+    assert np.abs(sd - g["sd"]).max() <= step + 1e-7
+
+    mesh = m.extract_mesh()
+    r = vertex_rmse(mesh.vertices, g["vertices"])
+    assert r["rmse"] < step / 10, r
+    assert r["hausdorff"] < 2 * step, r
+    # and both meshes must sit on the analytic r=2 sphere
+    assert analytic_sphere_rmse(mesh.vertices, 2.0) < 1e-3
+    assert analytic_sphere_rmse(g["vertices"], 2.0) < 1e-3
