@@ -128,7 +128,10 @@ def _kitti_shaped_stream(n_scans: int = 12):
     from chad_tsdf_tpu.config import MapConfig
     from chad_tsdf_tpu.io.kitti import synthetic_lidar_scan
 
-    config = MapConfig()          # default buckets: 128k fits a ~120k scan
+    # right-sized for sparse outdoor scans: ~120k points spread over tens of
+    # thousands of blocks (vs the dense sphere's ~4k) — bigger block/touched
+    # capacities, and the density dispatch picks the global-sort backend
+    config = MapConfig(block_capacity=1 << 17, touched_capacity=1 << 16)
     m = TSDFMap(config=config)
     scans = [(synthetic_lidar_scan([1.5 * i, 0.0, 0.0], seed=i),
               np.float32([1.5 * i, 0.0, 1.7])) for i in range(n_scans)]

@@ -86,6 +86,14 @@ class MapConfig:
     # 'auto' -> fused Pallas segmented-moment normals on TPU
     # (ops/normals_pallas.py), XLA scans elsewhere; or force 'pallas'/'xla'
     normals_impl: str = "auto"
+    # density threshold for the host-side impl dispatch under 'auto': the
+    # fused tile kernel assumes >= ~TILE/tile_nb points per touched block
+    # (dense close-range scans); sparse clouds (outdoor LiDAR) overflow the
+    # per-tile block list on every tile and must take the global-sort path
+    # instead.  Estimated per insert from a host subsample; clouds below
+    # this points-per-block density use `sparse_impl`.
+    sparse_points_per_block: float = 12.0
+    sparse_impl: str = "pallas"
     # print per-stage wall times like the reference's fmt timers
     # (morton.hpp:78,100, normals.hpp:146, octree.hpp:169, tsdf.cpp:74)
     profile: bool = False

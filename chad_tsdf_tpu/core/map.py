@@ -97,8 +97,9 @@ class TSDFMap:
             if n < bucket:
                 chunk = np.concatenate(
                     [chunk, np.zeros((bucket - n, 3), np.float32)])
+            cfg = self._dispatch_config(points[beg:beg + cap])
             self.state, metrics = integrate.insert_step(
-                self.state, chunk, np.int32(n), position, self.config)
+                self.state, chunk, np.int32(n), position, cfg)
             for k, v in metrics.items():
                 metrics_acc[k] = metrics_acc.get(k, 0) + int(v)
         if self.config.profile:
@@ -109,6 +110,27 @@ class TSDFMap:
                   f"blocks={metrics_acc['n_blocks']}")
         self.last_metrics = metrics_acc
         return metrics_acc
+
+    def _dispatch_config(self, chunk: np.ndarray):
+        """Pick the accumulate backend per scan under 'auto' (TPU only):
+        the fused tile kernel pays for itself only on dense clouds (many
+        points per touched block); sparse outdoor scans overflow every
+        tile's block list and must run the global-sort path.  Density is
+        estimated host-side from a subsample — two compile cache entries,
+        one cheap np.unique per insert."""
+        if (self.config.accumulate_impl != "auto"
+                or jax.default_backend() != "tpu" or len(chunk) == 0):
+            return self.config
+        stride = max(1, len(chunk) // 8192)
+        sub = chunk[::stride]
+        block = np.floor(sub / (8.0 * self.config.sdf_res)).astype(np.int64)
+        key = (block[:, 0] << 42) ^ (block[:, 1] << 21) ^ block[:, 2]
+        density = stride * len(sub) / max(1, np.unique(key).shape[0])
+        if density >= self.config.sparse_points_per_block:
+            return self.config
+        import dataclasses
+        return dataclasses.replace(self.config,
+                                   accumulate_impl=self.config.sparse_impl)
 
     def _start_submap(self, position: np.ndarray) -> None:
         origin = origin_blocks_for_position(position, self.config)

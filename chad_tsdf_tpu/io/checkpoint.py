@@ -32,8 +32,21 @@ from ..core.submap import Submap
 FORMAT_VERSION = 2
 
 
+def _active_state(m: TSDFMap):
+    """The map's active state; a ShardedTSDFMap's shards are merged exactly
+    on the host, so sharded checkpoints are topology-independent."""
+    stack = getattr(m, "state_stack", None)
+    if stack is not None:
+        from ..parallel.sharded import gather_states, merge_states_host
+        if int(np.asarray(stack.n_blocks).sum()) == 0:
+            return None
+        return merge_states_host(gather_states(stack), m.config)
+    return m.state
+
+
 def save_checkpoint(path: str, m: TSDFMap) -> None:
     arrays: dict[str, np.ndarray] = {}
+    active = _active_state(m)
     meta: dict = {
         "format_version": FORMAT_VERSION,
         "config": dataclasses.asdict(m.config),
@@ -44,7 +57,7 @@ def save_checkpoint(path: str, m: TSDFMap) -> None:
              "n_clusters": sm.n_clusters, "n_voxels": sm.n_voxels}
             for sm in m.submaps
         ],
-        "has_active": m.state is not None,
+        "has_active": active is not None,
         # round-trip the per-level dedup counters (they are the compression
         # metric; v1 checkpoints lost dupes_n on load)
         "level_counters": {
@@ -59,22 +72,22 @@ def save_checkpoint(path: str, m: TSDFMap) -> None:
     for i, sm in enumerate(m.submaps):
         arrays[f"submap_{i}_positions"] = np.asarray(sm.positions,
                                                     np.float32).reshape(-1, 3)
-    if m.state is not None:
+    if active is not None:
         # occupied-only pool serialization: allocation is sequential
         # (core/integrate._directory_update assigns slot = n_blocks + rank),
         # so live rows are exactly pool[:n_blocks] — a dense-default 256 MiB
         # pool checkpoint shrinks to its occupied prefix
-        nb = int(m.state.n_blocks)
-        dir_keys = np.asarray(m.state.dir_keys)
+        nb = int(active.n_blocks)
+        dir_keys = np.asarray(active.dir_keys)
         arrays["active_dir_keys"] = dir_keys[:nb]
-        arrays["active_dir_slots"] = np.asarray(m.state.dir_slots)[:nb]
-        arrays["active_pool_sd"] = np.asarray(m.state.pool_sd)[:nb]
-        arrays["active_pool_w"] = np.asarray(m.state.pool_w)[:nb]
-        arrays["active_origin"] = np.asarray(m.state.origin_blocks)
+        arrays["active_dir_slots"] = np.asarray(active.dir_slots)[:nb]
+        arrays["active_pool_sd"] = np.asarray(active.pool_sd)[:nb]
+        arrays["active_pool_w"] = np.asarray(active.pool_w)[:nb]
+        arrays["active_origin"] = np.asarray(active.origin_blocks)
         arrays["active_counters"] = np.asarray([
-            nb, int(m.state.point_overflow), int(m.state.sample_overflow),
-            int(m.state.block_overflow), int(m.state.touched_overflow),
-            int(m.state.tile_overflow)],
+            nb, int(active.point_overflow), int(active.sample_overflow),
+            int(active.block_overflow), int(active.touched_overflow),
+            int(active.tile_overflow)],
             np.int64)
         arrays["active_positions"] = np.asarray(m._positions,
                                                 np.float32).reshape(-1, 3)
@@ -83,7 +96,11 @@ def save_checkpoint(path: str, m: TSDFMap) -> None:
     np.savez_compressed(path, **arrays)
 
 
-def load_checkpoint(path: str) -> TSDFMap:
+def load_checkpoint(path: str, mesh=None) -> TSDFMap:
+    """Restore a map.  With ``mesh`` given, the active state is partitioned
+    onto the mesh by Morton range and a ShardedTSDFMap is returned —
+    checkpoints are topology-elastic (save on N shards, resume on M or on a
+    single device)."""
     import jax.numpy as jnp
     from ..core.state import ActiveMapState
 
@@ -138,7 +155,17 @@ def load_checkpoint(path: str) -> TSDFMap:
             tile_overflow=jnp.int32(tlo),
         )
         m._positions = [p for p in z["active_positions"]]
-    return m
+    if mesh is None:
+        return m
+    from ..parallel.sharded import shard_state_host
+    from ..parallel.sharded_map import ShardedTSDFMap
+    sm = ShardedTSDFMap(config=config, mesh=mesh)
+    sm.levels = m.levels
+    sm.submaps = m.submaps
+    sm._positions = m._positions
+    if m.state is not None:
+        sm.state_stack = shard_state_host(m.state, mesh, config)
+    return sm
 
 
 def _set_counters(lv, uniques: int, dupes: int) -> None:

@@ -207,21 +207,30 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
         n_ovf += jnp.sum(not_covered.astype(jnp.int32))
         uses.append((valid & covered).astype(jnp.float32))
 
-    # ---- ranks + stacked one-hot accumulation, with data-dependent skips:
+    # ---- ranks + FACTORIZED one-hot accumulation, with data-dependent
+    # skips:
     # * a rank round whose list slot is exhausted (INT32_MAX) cannot change
     #   any rank (no valid key is >= INT32_MAX) — most tiles use ~60% of nb;
     # * a sample row with no usable samples contributes nothing — DDA tail
     #   rows are mostly dead (K covers the worst case, the mean is ~2/3).
+    # The 9-bit offset one-hot is factorized off = hi2*128 + lo7: the MXU
+    # matmul becomes (128, C) @ (C, 4*2nb) — for nb<=48 that is 1x3 MXU
+    # (128,128) tiles per row instead of the unfactorized (512, C) @
+    # (C, 2nb->128)'s 4x1, a 25% systolic-array saving, and the one-hot
+    # build shrinks 4x on the VPU.
     # pl.when bodies may only write refs, so ranks/accs live in scratch.
-    rids = jax.lax.broadcasted_iota(jnp.int32, (512, TILE), 0)
-    cids = jax.lax.broadcasted_iota(jnp.int32, (2 * nb, TILE), 0)
-    is_w = (cids >= nb).astype(jnp.float32)
-    blk_col = jnp.where(cids >= nb, cids - nb, cids)
+    assert 2 * nb <= 128, "factorized accumulate requires 2*nb <= 128"
+    rids = jax.lax.broadcasted_iota(jnp.int32, (128, TILE), 0)
+    cids4 = jax.lax.broadcasted_iota(jnp.int32, (4 * 2 * nb, TILE), 0)
+    hi_col = cids4 // (2 * nb)
+    j_col = cids4 % (2 * nb)
+    is_w = (j_col >= nb).astype(jnp.float32)
+    blk_col = jnp.where(j_col >= nb, j_col - nb, j_col)
 
     def acc_ref_body(lrow_refs, acc_refs):
         for s in range(n_sub):
             lrow_refs[s][...] = jnp.zeros((k, TILE), jnp.int32)
-            acc_refs[s][...] = jnp.zeros((512, 2 * nb), jnp.float32)
+            acc_refs[s][...] = jnp.zeros((128, 4 * 2 * nb), jnp.float32)
         for r in range(1, nb):
             for s in range(n_sub):
                 def add_rank(s=s, r=r):
@@ -236,22 +245,34 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
                     lrr = lrow_refs[s][r:r + 1, :]
                     sdr = sd_all[r:r + 1, sl]
                     user = uses[s][r:r + 1]
-                    oh = (offr == rids).astype(acc_dtype)
-                    is_blk = (blk_col == lrr).astype(jnp.float32) * user
-                    vals_t = (is_blk *
+                    lo = offr & 127
+                    hi = offr >> 7
+                    oh = (lo == rids).astype(acc_dtype)        # (128, C)
+                    sel = ((blk_col == lrr) & (hi_col == hi)
+                           ).astype(jnp.float32) * user        # (8nb, C)
+                    vals_t = (sel *
                               (is_w + (1.0 - is_w) * sdr)).astype(acc_dtype)
                     acc_refs[s][...] += jax.lax.dot_general(
                         oh, vals_t, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                 pl.when(jnp.any(uses[s][r:r + 1] > 0))(row_update)
-        accs = [acc_refs[s][...] for s in range(n_sub)]
-        psd_out[...] = jnp.concatenate([a[:, :nb].T for a in accs], axis=0)
-        pw_out[...] = jnp.concatenate([a[:, nb:].T for a in accs], axis=0)
+        # acc[lo, hi*2nb + j] -> psd/pw row j, column off = hi*128 + lo
+        psd_parts, pw_parts = [], []
+        for s in range(n_sub):
+            at = acc_refs[s][...].T                  # (8nb, 128)
+            psd_parts.append(jnp.concatenate(
+                [at[h * 2 * nb: h * 2 * nb + nb, :] for h in range(4)],
+                axis=1))                             # (nb, 512)
+            pw_parts.append(jnp.concatenate(
+                [at[h * 2 * nb + nb: (h + 1) * 2 * nb, :] for h in range(4)],
+                axis=1))
+        psd_out[...] = jnp.concatenate(psd_parts, axis=0)
+        pw_out[...] = jnp.concatenate(pw_parts, axis=0)
 
     pl.run_scoped(
         acc_ref_body,
         lrow_refs=[pltpu.VMEM((k, TILE), jnp.int32) for _ in range(n_sub)],
-        acc_refs=[pltpu.VMEM((512, 2 * nb), jnp.float32)
+        acc_refs=[pltpu.VMEM((128, 4 * 2 * nb), jnp.float32)
                   for _ in range(n_sub)])
 
     # counters in row 0, lanes [0..2]; 8-sublane block for TPU tiling

@@ -261,6 +261,121 @@ def morton_split(points: np.ndarray, n_shards: int, sdf_res: float):
     return np.array_split(pts[order], n_shards)
 
 
+def merge_states_host(states: list, config: MapConfig) -> ActiveMapState:
+    """Merge per-shard active states into one single-device-equivalent
+    state (host-side, exact: duplicate block keys sum their accumulator
+    rows).  The bridge for topology-elastic checkpointing — a sharded map
+    checkpoints as the merged state and can resume on any device count."""
+    keys_l, sd_l, w_l = [], [], []
+    for st in states:
+        nb = int(st.n_blocks)
+        slots = np.asarray(st.dir_slots)[:nb]
+        keys_l.append(np.asarray(st.dir_keys)[:nb])
+        sd_l.append(np.asarray(st.pool_sd)[slots])
+        w_l.append(np.asarray(st.pool_w)[slots])
+    keys = np.concatenate(keys_l) if keys_l else np.zeros(0, np.int32)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    sd = np.concatenate(sd_l)[order] if keys.size else \
+        np.zeros((0, 512), np.float32)
+    w = np.concatenate(w_l)[order] if keys.size else \
+        np.zeros((0, 512), np.float32)
+    if keys.size:
+        starts = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]]))
+        ukeys = keys[starts]
+        sd = np.add.reduceat(sd, starts, axis=0)
+        w = np.add.reduceat(w, starts, axis=0)
+    else:
+        ukeys = keys
+
+    cb = config.block_capacity
+    from ..ops import accumulate as _acc
+    usable = cb - _acc.GROUP
+    u = ukeys.shape[0]
+    if u > usable:
+        raise ValueError(f"merged map has {u} blocks > usable {usable}; "
+                         "raise block_capacity to merge this sharded state")
+    out = create_state(config, np.asarray(states[0].origin_blocks))
+    dir_keys = np.full(cb, INT32_MAX, np.int32)
+    dir_keys[:u] = ukeys
+    dir_slots = np.zeros(cb, np.int32)
+    dir_slots[:u] = np.arange(u, dtype=np.int32)
+    pool_sd = np.zeros((cb, 512), np.float32)
+    pool_w = np.zeros((cb, 512), np.float32)
+    pool_sd[:u] = sd
+    pool_w[:u] = w
+
+    def tot(name):
+        return jnp.int32(sum(int(getattr(st, name)) for st in states))
+
+    return dataclasses.replace(
+        out, dir_keys=jnp.asarray(dir_keys), dir_slots=jnp.asarray(dir_slots),
+        n_blocks=jnp.int32(u), pool_sd=jnp.asarray(pool_sd),
+        pool_w=jnp.asarray(pool_w),
+        point_overflow=tot("point_overflow"),
+        sample_overflow=tot("sample_overflow"),
+        block_overflow=tot("block_overflow"),
+        touched_overflow=tot("touched_overflow"),
+        tile_overflow=tot("tile_overflow"))
+
+
+def shard_state_host(state: ActiveMapState, mesh: Mesh, config: MapConfig,
+                     axis: str = "shard"):
+    """Partition a single-device state onto a mesh by Morton key range —
+    the inverse of :func:`merge_states_host` (resume-on-different-topology).
+    """
+    n = mesh.devices.size
+    bounds = key_bounds(n, config)
+    cb = config.block_capacity
+    nb = int(state.n_blocks)
+    keys = np.asarray(state.dir_keys)[:nb]
+    slots = np.asarray(state.dir_slots)[:nb]
+    sd = np.asarray(state.pool_sd)[slots]
+    w = np.asarray(state.pool_w)[slots]
+
+    leaves = {f: [] for f in ("dir_keys", "dir_slots", "n_blocks",
+                              "pool_sd", "pool_w")}
+    for d in range(n):
+        sel = (keys >= bounds[d]) & (keys < bounds[d + 1])
+        u = int(sel.sum())
+        dk = np.full(cb, INT32_MAX, np.int32)
+        dk[:u] = keys[sel]
+        ds = np.zeros(cb, np.int32)
+        ds[:u] = np.arange(u, dtype=np.int32)
+        psd = np.zeros((cb, 512), np.float32)
+        pw = np.zeros((cb, 512), np.float32)
+        psd[:u] = sd[sel]
+        pw[:u] = w[sel]
+        leaves["dir_keys"].append(dk)
+        leaves["dir_slots"].append(ds)
+        leaves["n_blocks"].append(np.int32(u))
+        leaves["pool_sd"].append(psd)
+        leaves["pool_w"].append(pw)
+
+    base = create_sharded_state(config, mesh, np.asarray(state.origin_blocks),
+                                axis=axis)
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(name, stacked_np):
+        return jax.device_put(jnp.asarray(stacked_np), sharding)
+
+    counters = {}
+    for name in ("point_overflow", "sample_overflow", "block_overflow",
+                 "touched_overflow", "tile_overflow"):
+        v = np.zeros(n, np.int32)
+        v[0] = int(getattr(state, name))       # totals live on shard 0
+        counters[name] = put(name, v)
+    return dataclasses.replace(
+        base,
+        dir_keys=put("dir_keys", np.stack(leaves["dir_keys"])),
+        dir_slots=put("dir_slots", np.stack(leaves["dir_slots"])),
+        n_blocks=put("n_blocks", np.asarray(leaves["n_blocks"])),
+        pool_sd=put("pool_sd", np.stack(leaves["pool_sd"])),
+        pool_w=put("pool_w", np.stack(leaves["pool_w"])),
+        **counters)
+
+
 def gather_states(state_stack) -> list[ActiveMapState]:
     """Split a stacked sharded state into per-shard host-side states."""
     n = state_stack.dir_keys.shape[0]

@@ -137,3 +137,47 @@ def test_counters_roundtrip_and_compact_pool(tmp_path):
     z = np.load(p)
     assert z["active_pool_sd"].shape[0] == int(m.state.n_blocks)
     assert z["active_pool_sd"].shape[0] < cfg.block_capacity
+
+
+def test_sharded_checkpoint_topology_elastic(tmp_path):
+    """Checkpoint a ShardedTSDFMap (8 shards), resume on 4 shards AND on a
+    single device; all three maps must agree voxel-for-voxel."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from chad_tsdf_tpu.parallel import ShardedTSDFMap, make_mesh
+
+    cfg = MapConfig(max_points=512, block_capacity=4096,
+                    touched_capacity=2048, accumulate_impl="xla")
+    pts = sphere_points(4096, r=2.0, seed=13)
+    pos = np.zeros(3, np.float32)
+
+    m8 = ShardedTSDFMap(config=cfg, mesh=make_mesh(8))
+    m8.insert(pts, pos)
+    c0, s0 = m8.voxel_samples()
+
+    p = str(tmp_path / "sharded.npz")
+    save_checkpoint(p, m8)
+
+    # resume single-device
+    m1 = load_checkpoint(p)
+    c1, s1 = m1.voxel_samples()
+    np.testing.assert_array_equal(c1, c0)
+    np.testing.assert_array_equal(s1, s0)
+
+    # resume on a 4-device mesh and continue inserting
+    m4 = load_checkpoint(p, mesh=make_mesh(4))
+    c4, s4 = m4.voxel_samples()
+    np.testing.assert_array_equal(c4, c0)
+    np.testing.assert_array_equal(s4, s0)
+
+    more = sphere_points(2048, r=1.0, seed=14)
+    m4.insert(more, pos)
+    m8.insert(more, pos)
+    c4b, s4b = m4.voxel_samples()
+    c8b, s8b = m8.voxel_samples()
+    np.testing.assert_array_equal(c4b, c8b)
+    # normals on 4 vs 8 shard splits differ at cut points; sd near-equal
+    step = cfg.sdf_trunc / 127
+    assert (np.abs(s4b - s8b) <= 2 * step).mean() > 0.98
