@@ -87,12 +87,15 @@ class MapConfig:
     # (ops/normals_pallas.py), XLA scans elsewhere; or force 'pallas'/'xla'
     normals_impl: str = "auto"
     # density threshold for the host-side impl dispatch under 'auto': the
-    # fused tile kernel assumes >= ~TILE/tile_nb points per touched block
-    # (dense close-range scans); sparse clouds (outdoor LiDAR) overflow the
-    # per-tile block list on every tile and must take the global-sort path
-    # instead.  Estimated per insert from a host subsample; clouds below
-    # this points-per-block density use `sparse_impl`.
-    sparse_points_per_block: float = 12.0
+    # fused tile kernel needs >= TILE/tile_nb ~ 21 points per touched block
+    # before DDA expansion (x2-3 distinct blocks) just to fit each tile's
+    # block list; below that every tile overflows and the insert pays the
+    # kernel AND the full sort fallback.  32 points/block keeps dense
+    # close-range scans (sphere: ~260) on the fused path and sends outdoor
+    # LiDAR (KITTI: ~12, which sits exactly at the old threshold of 12 and
+    # flip-flopped per scan) to `sparse_impl`.  Estimated per insert from a
+    # host subsample.
+    sparse_points_per_block: float = 32.0
     sparse_impl: str = "pallas"
     # print per-stage wall times like the reference's fmt timers
     # (morton.hpp:78,100, normals.hpp:146, octree.hpp:169, tsdf.cpp:74)

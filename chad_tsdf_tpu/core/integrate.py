@@ -300,15 +300,8 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
     lens = jnp.where(tb_slots == reserved_row, 0, lens)
 
     # ---- accumulate into the pool ----
-    if _use_pallas(config):
-        pad_i = jnp.zeros((accumulate.CHUNK,), jnp.int32)
-        groups = accumulate.group_touched_blocks(starts_c, lens, tb_slots,
-                                                 t_cap, cb)
-        pool_sd, pool_w = accumulate.accumulate_pallas(
-            state.pool_sd, state.pool_w, *groups,
-            jnp.concatenate([s_payload, pad_i]),
-            touched_capacity=t_cap, sd_scale=config.sdf_trunc / SD_QUANT)
-    else:
+    def run_xla(args):
+        pool_sd, pool_w = args
         # per-sample slot via dense segment fill (no big searchsorted)
         s_okey, s_sd = unpack_payload(s_payload, config.sdf_trunc)
         t_idx = jnp.cumsum(flags.astype(jnp.int32)) - 1
@@ -316,9 +309,50 @@ def update_pool(state: ActiveMapState, batch: SampleBatch,
         slot_per_sample = tb_slots[t_idx_c]
         sample_ok = (s_bkey != INT32_MAX) & (t_idx < t_cap) & \
             (slot_per_sample != reserved_row)
-        pool_sd, pool_w = accumulate.accumulate_xla(
-            state.pool_sd, state.pool_w, slot_per_sample, s_okey, s_sd,
-            sample_ok)
+        return accumulate.accumulate_xla(
+            pool_sd, pool_w, slot_per_sample, s_okey, s_sd, sample_ok)
+
+    if _use_pallas(config):
+        pad_i = jnp.zeros((accumulate.CHUNK,), jnp.int32)
+        payload_p = jnp.concatenate([s_payload, pad_i])
+        (ng, gstart, glen, grow, starts_s, lens_s, slots_s) = \
+            accumulate.group_touched_blocks(starts_c, lens, tb_slots,
+                                            t_cap, cb)
+        sd_scale = config.sdf_trunc / SD_QUANT
+        # the kernel prefetches six i32[b] tables into SMEM; slice them to
+        # the smallest live-count bucket (live entries are compacted first:
+        # live groups lead the group tables, live members — slot < reserved
+        # — lead the slot-sorted member tables, so a prefix is a valid plan)
+        smem_max = accumulate.SMEM_MAX_ENTRIES
+
+        def pallas_with(b):
+            def run(args):
+                pool_sd, pool_w = args
+                return accumulate.accumulate_pallas(
+                    pool_sd, pool_w, ng, gstart[:b], glen[:b], grow[:b],
+                    starts_s[:b], lens_s[:b], slots_s[:b], payload_p,
+                    touched_capacity=b, sd_scale=sd_scale)
+            return run
+
+        buckets = sorted({min(t_cap, 4096), min(t_cap, 16384),
+                          min(t_cap, smem_max)})
+        n_live = jnp.sum(slots_s != reserved_row).astype(jnp.int32)
+        branch = len(buckets) - 1 - sum(n_live <= b for b in buckets[:-1])
+        args = (state.pool_sd, state.pool_w)
+
+        def run_pallas(args):
+            return jax.lax.switch(branch,
+                                  [pallas_with(b) for b in buckets], args)
+
+        if t_cap > smem_max:
+            # a live count beyond the SMEM-safe table size takes the
+            # portable scatter path — exact, just slower (no data loss)
+            pool_sd, pool_w = jax.lax.cond(n_live <= smem_max, run_pallas,
+                                           run_xla, args)
+        else:
+            pool_sd, pool_w = run_pallas(args)
+    else:
+        pool_sd, pool_w = run_xla((state.pool_sd, state.pool_w))
 
     new_state = ActiveMapState(
         dir_keys=dir_keys, dir_slots=dir_slots, n_blocks=n_blocks,

@@ -108,8 +108,44 @@ class TSDFMap:
             print(f"insert   {metrics_acc.get('wall_ms', 0):8.2f} ms  "
                   f"samples={metrics_acc['n_valid_samples']} "
                   f"blocks={metrics_acc['n_blocks']}")
+        self._warn_overflow()
         self.last_metrics = metrics_acc
         return metrics_acc
+
+    # overflow kinds that silently degrade the map if ignored (dropped
+    # content).  tile_overflow is excluded: those samples are re-integrated
+    # exactly by the sort fallback, it is a perf counter, not data loss.
+    _LOSSY_OVERFLOWS = ("point_overflow", "sample_overflow",
+                        "block_overflow", "touched_overflow")
+
+    def _warn_overflow(self) -> None:
+        """Warn once per counter kind when dropped-data overflow appears.
+
+        The reference's hashmap octree is unbounded; the TPU build's static
+        capacities drop-and-count instead (MapConfig docstring).  Counting
+        alone is easy to ignore, so the first non-zero occurrence of each
+        lossy counter raises a UserWarning naming the config knob to bump.
+        """
+        if self.state is None:
+            return
+        warned = getattr(self, "_overflow_warned", set())
+        knob = {"point_overflow": "block_bits (local extent)",
+                "sample_overflow": "block_bits (local extent)",
+                "block_overflow": "block_capacity",
+                "touched_overflow": "touched_capacity"}
+        for name in self._LOSSY_OVERFLOWS:
+            if name in warned:
+                continue
+            v = int(getattr(self.state, name))
+            if v > 0:
+                import warnings
+                warnings.warn(
+                    f"TSDFMap: {name} = {v} — samples were dropped and "
+                    f"counted; the map is degraded in those regions. "
+                    f"Raise MapConfig.{knob[name]} to avoid this.",
+                    stacklevel=3)
+                warned.add(name)
+        self._overflow_warned = warned
 
     def _dispatch_config(self, chunk: np.ndarray):
         """Pick the accumulate backend per scan under 'auto' (TPU only):

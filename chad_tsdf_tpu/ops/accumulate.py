@@ -48,6 +48,12 @@ GROUP = 8
 # static pallas grid size; groups are strided over it (keeps per-step grid
 # overhead off the critical path when only a few thousand groups are live)
 GRID_STEPS = 256
+# max entries per scalar-prefetch table: the kernel prefetches SIX i32[T]
+# tables into SMEM (gstart/glen/grow + starts/lens/slots) against the ~1 MiB
+# SMEM budget — 6 * 32768 * 4 B = 768 KiB leaves headroom for spill slots.
+# Callers with touched_capacity above this must slice the tables to the live
+# prefix (live entries are compacted first) or take the scatter fallback.
+SMEM_MAX_ENTRIES = 32768
 
 
 def accumulate_xla(pool_sd, pool_w, slots_per_sample, offsets, sd, valid):

@@ -205,3 +205,54 @@ def test_pallas_interpret_matches_xla():
     err = np.abs(np.asarray(got_sd) - np.asarray(ref_sd))
     per = err / np.maximum(np.asarray(ref_w), 1)     # error per sample
     assert per.max() < 1e-3, per.max()
+
+
+def test_pallas_accumulate_sliced_prefix_tables():
+    """update_pool slices the six scalar-prefetch tables to a live-count
+    bucket before calling accumulate_pallas (SMEM holds at most
+    accumulate.SMEM_MAX_ENTRIES entries per table).  The slicing is valid
+    because live entries are compacted to the front of every table; this
+    test pins that invariant: a sliced-prefix call must produce the exact
+    pools of the full-table call."""
+    from chad_tsdf_tpu.core.integrate import pack_payload
+    from chad_tsdf_tpu.ops import accumulate as acc_mod
+
+    rng = np.random.default_rng(11)
+    cb, t_cap, s_n = 128, 64, 4096
+    trunc = 0.1
+    pool_sd = jnp.zeros((cb, 512), jnp.float32)
+    pool_w = jnp.zeros((cb, 512), jnp.float32)
+    blocks = np.sort(rng.integers(0, 20, s_n))       # 20 live blocks << t_cap
+    offs = jnp.asarray(rng.integers(0, 512, s_n), jnp.int32)
+    sd_raw = jnp.asarray(rng.uniform(-trunc, trunc, s_n), jnp.float32)
+    payload = jnp.concatenate([pack_payload(offs, sd_raw, trunc),
+                               jnp.zeros(acc_mod.CHUNK, jnp.int32)])
+    uniq = np.unique(blocks)
+    slot_of = {b: int(s) for b, s in
+               zip(uniq, rng.permutation(cb - acc_mod.GROUP)[:len(uniq)])}
+    starts_np, lens_np, slots_np = [], [], []
+    for b in uniq:
+        m = np.nonzero(blocks == b)[0]
+        starts_np.append(int(m[0]))
+        lens_np.append(len(m))
+        slots_np.append(slot_of[b])
+    pad_t = t_cap - len(starts_np)
+    starts = jnp.asarray(starts_np + [0] * pad_t, jnp.int32)
+    lens = jnp.asarray(lens_np + [0] * pad_t, jnp.int32)
+    slots = jnp.asarray(slots_np + [cb - 1] * pad_t, jnp.int32)
+
+    ng, gstart, glen, grow, starts_s, lens_s, slots_s = \
+        acc_mod.group_touched_blocks(starts, lens, slots, t_cap, cb)
+    full = acc_mod.accumulate_pallas(
+        pool_sd, pool_w, ng, gstart, glen, grow, starts_s, lens_s, slots_s,
+        payload, touched_capacity=t_cap, sd_scale=trunc / 32767.0,
+        interpret=True)
+    n_live = int(jnp.sum(slots_s != cb - 1))
+    assert n_live == len(uniq)
+    b = 32                                            # bucket >= n_live
+    sliced = acc_mod.accumulate_pallas(
+        pool_sd, pool_w, ng, gstart[:b], glen[:b], grow[:b],
+        starts_s[:b], lens_s[:b], slots_s[:b], payload,
+        touched_capacity=b, sd_scale=trunc / 32767.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(sliced[0]))
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(sliced[1]))
