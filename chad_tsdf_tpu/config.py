@@ -90,13 +90,20 @@ class MapConfig:
     # fused tile kernel needs >= TILE/tile_nb ~ 21 points per touched block
     # before DDA expansion (x2-3 distinct blocks) just to fit each tile's
     # block list; below that every tile overflows and the insert pays the
-    # kernel AND the full sort fallback.  32 points/block keeps dense
-    # close-range scans (sphere: ~260) on the fused path and sends outdoor
-    # LiDAR (KITTI: ~12, which sits exactly at the old threshold of 12 and
-    # flip-flopped per scan) to `sparse_impl`.  Estimated per insert from a
-    # host subsample.
-    sparse_points_per_block: float = 32.0
-    sparse_impl: str = "pallas"
+    # kernel AND the full sort fallback.  The estimate comes from a host
+    # subsample, which undercounts blocks and so OVERestimates density by
+    # up to ~1.5x on sparse scans (KITTI true ~12, estimates 26-38); dense
+    # close-range scans estimate accurately (sphere: ~260).  64 sits safely
+    # between — a knife-edge threshold makes borderline streams flip
+    # backends per scan, each flip costing a full XLA compile mid-stream.
+    sparse_points_per_block: float = 64.0
+    sparse_impl: str = "sample_tile"
+    # distinct-block-list capacity per 1024-SAMPLE tile of the sample_tile
+    # path (ops/tile_accum over the block-sorted sample stream).  Sorted
+    # consecutive samples touch <= 1024/avg-segment distinct blocks, so 128
+    # covers any cloud averaging >= 8 samples per touched block; beyond it
+    # the exact sort fallback runs (counted in tile_overflow).
+    sparse_tile_nb: int = 128
     # print per-stage wall times like the reference's fmt timers
     # (morton.hpp:78,100, normals.hpp:146, octree.hpp:169, tsdf.cpp:74)
     profile: bool = False
@@ -153,14 +160,18 @@ class MapConfig:
             raise ValueError("sdf_res and sdf_trunc must be positive")
         if 3 * self.block_bits > 31:
             raise ValueError("block_bits too large for int32 Morton keys")
-        if self.accumulate_impl not in ("auto", "fused", "tile", "pallas",
-                                        "xla"):
+        impls = ("auto", "fused", "tile", "sample_tile", "pallas", "xla")
+        if self.accumulate_impl not in impls:
             raise ValueError(f"bad accumulate_impl {self.accumulate_impl!r}")
-        if (self.accumulate_impl in ("tile", "fused")
+        if self.sparse_impl not in impls[1:]:
+            raise ValueError(f"bad sparse_impl {self.sparse_impl!r}")
+        if (self.accumulate_impl in ("tile", "fused", "sample_tile")
                 and self.max_points % 1024 != 0):
             raise ValueError("tile accumulation needs max_points % 1024 == 0")
         if self.tile_nb % 8 != 0 or self.tile_nb < 8:
             raise ValueError("tile_nb must be a positive multiple of 8")
+        if self.sparse_tile_nb % 8 != 0 or self.sparse_tile_nb < 8:
+            raise ValueError("sparse_tile_nb must be a positive multiple of 8")
         if self.normals_impl not in ("auto", "pallas", "xla"):
             raise ValueError(f"bad normals_impl {self.normals_impl!r}")
         if self.mesh_impl not in ("auto", "device", "host"):

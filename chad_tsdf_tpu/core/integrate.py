@@ -503,6 +503,9 @@ def insert_step_impl(state: ActiveMapState, points, n_points, position,
         return insert_step_fused(state, points, n_points, position, config)
     if impl == "tile":
         return insert_step_tiled(state, points, n_points, position, config)
+    if impl == "sample_tile":
+        return insert_step_sample_tiled(state, points, n_points, position,
+                                        config)
     batch = compute_samples(points, n_points, position, state.origin_blocks,
                             config)
     batch = sort_samples(batch)
@@ -558,6 +561,67 @@ def insert_step_fused(state: ActiveMapState, points, n_points, position,
                             jnp.zeros((), jnp.int32))
         batch = sort_samples(batch)
         st, m = update_pool(st, batch, config)
+        return st, m["n_new_blocks"]
+
+    def no_fallback(st):
+        return st, jnp.int32(0)
+
+    state, extra_new = jax.lax.cond(tile_ovf > 0,
+                                    with_fallback, no_fallback, state)
+    metrics["n_new_blocks"] = metrics["n_new_blocks"] + extra_new
+    metrics["n_blocks"] = state.n_blocks
+    return state, metrics
+
+
+def insert_step_sample_tiled(state: ActiveMapState, points, n_points,
+                             position, config: MapConfig,
+                             interpret: bool | None = None):
+    """Sparse-cloud insert: global sample sort + sorted-SAMPLE tiling.
+
+    The per-point tilings (insert_step_fused/tiled) assume many samples per
+    touched block; sparse outdoor scans (KITTI: ~12 points/block) overflow
+    every tile's distinct-block list, and the per-block accumulate kernel
+    (ops/accumulate.accumulate_pallas) re-DMAs and re-scans each
+    1024-sample payload window once per member block — ~35x redundant work
+    at LiDAR densities (measured: seconds per 120k-point scan on TPU v5e).
+
+    Here the flat samples are sorted by block key ONCE and cut into
+    1024-sample tiles: consecutive sorted samples touch at most
+    1024/avg-segment distinct blocks, so each window is processed a single
+    time by the stacked one-hot MXU matmul of ops/tile_accum.tile_partials
+    (the same stage-A kernel, fed a (1, S) grid), and the per-tile partial
+    rows merge through the same update_pool_tiled as the dense paths.
+    Tiles with more than ``config.sparse_tile_nb`` distinct blocks send
+    their uncovered samples through the exact sort fallback (counted in
+    ``tile_overflow`` — a perf event, never data loss).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch = compute_samples(points, n_points, position, state.origin_blocks,
+                            config)
+    batch = sort_samples(batch)
+    s = batch.bkey.shape[0]
+    s_okey, s_sd = unpack_payload(batch.payload, config.sdf_trunc)
+    n_valid = jnp.sum(batch.bkey != INT32_MAX).astype(jnp.int32)
+    pkeys, psd, pw, ovfmask = tile_accum.tile_partials(
+        batch.bkey.reshape(1, s), s_okey.reshape(1, s), s_sd.reshape(1, s),
+        nb=config.sparse_tile_nb, interpret=interpret)
+    tile_ovf = jnp.sum(ovfmask).astype(jnp.int32)
+    state, metrics = update_pool_tiled(state, pkeys, psd, pw, tile_ovf,
+                                       n_valid, batch.samp_overflow,
+                                       batch.pt_overflow, config,
+                                       interpret=interpret)
+
+    def with_fallback(st):
+        ovf = ovfmask.reshape(-1) != 0
+        fb = SampleBatch(jnp.where(ovf, batch.bkey, INT32_MAX),
+                         jnp.where(ovf, batch.payload, 0),
+                         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        # re-sort: masking punches INT32_MAX holes into segments, and
+        # update_pool's boundary segmentation must see each block key as
+        # one contiguous run
+        fb = sort_samples(fb)
+        st, m = update_pool(st, fb, config)
         return st, m["n_new_blocks"]
 
     def no_fallback(st):

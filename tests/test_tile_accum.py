@@ -138,3 +138,76 @@ def test_tiled_incremental_and_determinism():
     s3, _ = run(s1)
     np.testing.assert_array_equal(np.asarray(s3.pool_w),
                                   2 * np.asarray(s2.pool_w))
+
+
+@pytest.mark.parametrize("radius,expect_fallback", [
+    # at r=5 this 2048-pt sphere is ~1 point/block (~7 samples/block, below
+    # the nb=128 coverage bound of 8) so the exact fallback must fire; real
+    # LiDAR (~12 points/block, 40+ samples/block) stays on the fast path
+    (5.0, True),
+    (0.25, False),   # dense also works (sorted samples group even tighter)
+])
+def test_insert_step_sample_tiled_matches_xla(radius, expect_fallback):
+    """The sparse path (global sample sort + sorted-sample tiling through
+    tile_partials) must match the XLA scatter oracle exactly on weights
+    and to f32-reassociation tolerance on sd sums."""
+    cfg_x = MapConfig(max_points=2048, block_capacity=8192,
+                      touched_capacity=8192, accumulate_impl="xla")
+    cfg_s = MapConfig(max_points=2048, block_capacity=8192,
+                      touched_capacity=8192, accumulate_impl="sample_tile")
+    pts = _sphere_points(2048, r=radius, seed=1)
+    pos = np.zeros(3, np.float32)
+    origin = origin_blocks_for_position(pos, cfg_x)
+
+    sx = create_state(cfg_x, origin)
+    sx, mx = integrate.insert_step(sx, jnp.asarray(pts), jnp.int32(2048),
+                                   jnp.asarray(pos), cfg_x)
+    st = create_state(cfg_s, origin)
+    st, mt = integrate.insert_step_sample_tiled(
+        st, jnp.asarray(pts), jnp.int32(2048), jnp.asarray(pos), cfg_s,
+        interpret=True)
+
+    assert int(mt["n_valid_samples"]) == int(mx["n_valid_samples"])
+    assert int(mt["n_blocks"]) == int(mx["n_blocks"])
+    assert (int(st.tile_overflow) > 0) == expect_fallback
+    np.testing.assert_array_equal(np.asarray(st.dir_keys),
+                                  np.asarray(sx.dir_keys))
+    kx = np.asarray(sx.dir_keys)
+    nbk = int(sx.n_blocks)
+    sl_x = np.asarray(sx.dir_slots)[:nbk]
+    sl_t = np.asarray(st.dir_slots)[:nbk]
+    np.testing.assert_array_equal(np.asarray(st.pool_w)[sl_t],
+                                  np.asarray(sx.pool_w)[sl_x])
+    sdx = np.asarray(sx.pool_sd)[sl_x]
+    sdt = np.asarray(st.pool_sd)[sl_t]
+    err = np.abs(sdt - sdx) / np.maximum(np.asarray(sx.pool_w)[sl_x], 1)
+    assert err.max() < 1e-4, err.max()
+
+
+def test_sample_tiled_overflow_fallback_exact():
+    """Force sparse_tile_nb below the distinct-block count of a sorted
+    sample tile so the sort fallback must run, and assert exactness."""
+    cfg_x = MapConfig(max_points=1024, block_capacity=8192,
+                      touched_capacity=8192, accumulate_impl="xla")
+    cfg_s = MapConfig(max_points=1024, block_capacity=8192,
+                      touched_capacity=8192, accumulate_impl="sample_tile",
+                      sparse_tile_nb=8)
+    pts = _sphere_points(1024, r=5.0, seed=2)
+    pos = np.zeros(3, np.float32)
+    origin = origin_blocks_for_position(pos, cfg_x)
+
+    sx = create_state(cfg_x, origin)
+    sx, _ = integrate.insert_step(sx, jnp.asarray(pts), jnp.int32(1024),
+                                  jnp.asarray(pos), cfg_x)
+    st = create_state(cfg_s, origin)
+    st, _ = integrate.insert_step_sample_tiled(
+        st, jnp.asarray(pts), jnp.int32(1024), jnp.asarray(pos), cfg_s,
+        interpret=True)
+    assert int(st.tile_overflow) > 0
+    np.testing.assert_array_equal(np.asarray(st.dir_keys),
+                                  np.asarray(sx.dir_keys))
+    nbk = int(sx.n_blocks)
+    sl_x = np.asarray(sx.dir_slots)[:nbk]
+    sl_t = np.asarray(st.dir_slots)[:nbk]
+    np.testing.assert_array_equal(np.asarray(st.pool_w)[sl_t],
+                                  np.asarray(sx.pool_w)[sl_x])
