@@ -250,15 +250,26 @@ def group_touched_blocks(starts, lens, slots, t_cap: int, cb: int):
     slots_s, starts_s, lens_s = jax.lax.sort((slots, starts, lens),
                                              num_keys=1)
     gkey = slots_s // GROUP
-    # entries for the reserved group (dummy/overflow slots) are excluded so
-    # n_groups counts only live groups
-    flags = segops.boundary_flags(gkey) & (gkey != reserved_group)
+    # entries for the dummy/overflow slots all carry the reserved slot
+    # cb - 1 (the maximum), so live members are a contiguous PREFIX of the
+    # slot-sorted stream and m_live is the first reserved position.  This
+    # prefix property is what lets callers slice every table to a
+    # live-count bucket (SMEM_MAX_ENTRIES).
+    live = gkey != reserved_group
+    m_live = jnp.sum(live.astype(jnp.int32))
+    flags = segops.boundary_flags(gkey) & live
     pos, g_count, _ = segops.compact_flag_positions(flags, t_cap)
     gvalid = jnp.arange(t_cap, dtype=jnp.int32) < g_count
     pos_c = jnp.minimum(pos, t_cap - 1)
     nxt = jnp.concatenate([pos[1:], jnp.full((1,), t_cap, jnp.int32)])
     gstart = jnp.where(gvalid, pos_c, 0)
-    glen = jnp.where(gvalid, jnp.minimum(nxt, t_cap) - pos_c, 0)
+    # the LAST live group's nxt is t_cap (no further flag): cap every group
+    # at m_live or its member range would sweep the whole reserved tail —
+    # tens of thousands of dead fori iterations per insert, and
+    # out-of-bounds SMEM table reads (faulting DMA addresses) once the
+    # caller slices the tables to a live-count bucket
+    glen = jnp.where(gvalid,
+                     jnp.maximum(jnp.minimum(nxt, m_live) - pos_c, 0), 0)
     grow = jnp.where(gvalid, gkey[pos_c], reserved_group)
     grow = jnp.minimum(grow, reserved_group)
     return (g_count.reshape(1), gstart, glen, grow, starts_s, lens_s,

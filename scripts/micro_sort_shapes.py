@@ -73,3 +73,40 @@ for rows in (1, 64):
 # single fused 64-bit-ish: one i32 key (drop okey) for comparison
 f = jax.jit(lambda bk, x, y, z: jax.lax.sort((bk, x, y, z), num_keys=1))
 bench("sort (1 x 1M) 1key+3pay", f, bkey, px, py, pz)
+
+for rows in (2, 4):
+    n_per = N // rows
+
+    def sort_rows2(bk, ok, x, y, z, rows=rows, n_per=n_per):
+        rs = lambda a: a.reshape(rows, n_per)
+        return jax.lax.sort(tuple(rs(a) for a in (bk, ok, x, y, z)),
+                            num_keys=2, dimension=1)
+
+    bench(f"sort ({rows} x {n_per}) 2key+3pay", jax.jit(sort_rows2),
+          bkey, okey, px, py, pz)
+
+f = jax.jit(lambda bk, ok, x, y, z: jax.lax.sort((bk, ok, x, y, z),
+                                                 num_keys=1))
+bench("sort (1 x 1M) 1key+4pay", f, bkey, okey, px, py, pz)
+
+
+def two_pass(bk, ok, x, y, z):
+    sb, so, sx, sy, sz = jax.lax.sort((bk, ok, x, y, z), num_keys=1)
+    flags = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             sb[1:] != sb[:-1]])
+    rank = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    imax = jnp.int32(2**31 - 1)
+    key2 = jnp.where(sb == imax, imax, rank * 512 + so)
+    k2, sb, sx, sy, sz = jax.lax.sort((key2, sb, sx, sy, sz), num_keys=1)
+    so = jnp.where(sb == imax, imax, k2 & 511)
+    return sb, so, sx, sy, sz
+
+bench("two-pass 1key sorts (exact order)", jax.jit(two_pass),
+      bkey, okey, px, py, pz)
+
+# correctness vs the reference 2-key sort
+ref = jax.jit(lambda *a: jax.lax.sort(a, num_keys=2))(bkey, okey, px, py, pz)
+got = jax.jit(two_pass)(bkey, okey, px, py, pz)
+np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+print("two-pass order matches 2-key sort (keys)", flush=True)

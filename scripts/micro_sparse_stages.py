@@ -115,3 +115,50 @@ def bgather_fn(psd, pw, order):
     return psd[src_c], pw[src_c]
 
 _, _ = bench("  B: row gather (164k x 512) x2", bgather_fn, psd, pw, order)
+
+
+# ---- chained graph without the fallback cond, and the full insert ----
+@functools.partial(jax.jit, donate_argnums=(0,))
+def chained_fn(state, points, position):
+    batch = integrate.compute_samples(points, jnp.int32(n), position,
+                                      origin_j, config)
+    batch = integrate.sort_samples(batch)
+    s = batch.bkey.shape[0]
+    okey, sd = integrate.unpack_payload(batch.payload, config.sdf_trunc)
+    nv = jnp.sum(batch.bkey != integrate.INT32_MAX).astype(jnp.int32)
+    pkeys, psd, pw, ovfmask = tile_accum.tile_partials(
+        batch.bkey.reshape(1, s), okey.reshape(1, s), sd.reshape(1, s),
+        nb=config.sparse_tile_nb, interpret=False)
+    tile_ovf = jnp.sum(ovfmask).astype(jnp.int32)
+    st, m = integrate.update_pool_tiled(state, pkeys, psd, pw, tile_ovf,
+                                        nv, batch.samp_overflow,
+                                        batch.pt_overflow, config,
+                                        interpret=False)
+    return st
+
+st = create_state(config, origin)
+st = chained_fn(st, points, position)
+sync((st.pool_sd,))
+st = chained_fn(st, points, position)
+sync((st.pool_sd,))
+t0 = time.perf_counter()
+for _ in range(10):
+    st = chained_fn(st, points, position)
+sync((st.pool_sd,))
+print(f"{'chained (no fallback cond)':34s} {(time.perf_counter()-t0)/10*1e3:8.2f} ms",
+      flush=True)
+
+st2 = create_state(config, origin)
+st2, m2 = integrate.insert_step(st2, points, jnp.int32(n), position, config)
+sync((st2.pool_sd,))
+for _ in range(2):
+    st2, m2 = integrate.insert_step(st2, points, jnp.int32(n), position,
+                                    config)
+sync((st2.pool_sd,))
+t0 = time.perf_counter()
+for _ in range(10):
+    st2, m2 = integrate.insert_step(st2, points, jnp.int32(n), position,
+                                    config)
+sync((st2.pool_sd,))
+print(f"{'FULL insert (with fallback)':34s} {(time.perf_counter()-t0)/10*1e3:8.2f} ms",
+      flush=True)

@@ -256,3 +256,61 @@ def test_pallas_accumulate_sliced_prefix_tables():
         touched_capacity=b, sd_scale=trunc / 32767.0, interpret=True)
     np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(sliced[0]))
     np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(sliced[1]))
+
+
+def test_sort_points_order_contract():
+    """sort_points_soa must produce exact (bkey, okey) lexicographic order
+    with the INT32_MAX padding tail last, whatever its implementation (a
+    two-pass 1-key variant was tried and reverted: it halved the sort in
+    isolation but lost 2.3 ms in-graph — see micro_sort_shapes.py)."""
+    rng = np.random.default_rng(7)
+    n = 8192
+    bkey = rng.integers(0, 500, n).astype(np.int32)
+    okey = rng.integers(0, 512, n).astype(np.int32)
+    bkey[rng.random(n) < 0.1] = np.int32(2**31 - 1)   # padding sentinels
+    okey[bkey == 2**31 - 1] = np.int32(2**31 - 1)
+    px = rng.normal(size=n).astype(np.float32)
+    py = rng.normal(size=n).astype(np.float32)
+    pz = rng.normal(size=n).astype(np.float32)
+
+    sb, so, sx, sy, sz = integrate.sort_points_soa(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz),
+        jnp.asarray(bkey), jnp.asarray(okey))
+    rb, ro = jax.lax.sort((jnp.asarray(bkey), jnp.asarray(okey)), num_keys=2)
+    np.testing.assert_array_equal(np.asarray(sb), np.asarray(rb))
+    np.testing.assert_array_equal(np.asarray(so), np.asarray(ro))
+    # coords still pair with their keys: recompute each point's key from the
+    # sorted coords via the original mapping
+    key_of = {}
+    for i in range(n):
+        key_of.setdefault((px[i], py[i], pz[i]), []).append(
+            (int(bkey[i]), int(okey[i])))
+    sx_n, sy_n, sz_n = np.asarray(sx), np.asarray(sy), np.asarray(sz)
+    for i in range(0, n, 97):
+        pair = (int(np.asarray(sb)[i]), int(np.asarray(so)[i]))
+        assert pair in key_of[(sx_n[i], sy_n[i], sz_n[i])]
+
+
+def test_group_tables_bounded_by_live_members():
+    """The last live group's glen must stop at the live-member prefix, not
+    sweep the reserved tail: the accumulate kernel indexes the member
+    tables at gstart+i for i < glen, and callers slice those tables to a
+    live-count bucket — an overrunning glen means out-of-bounds SMEM reads
+    (observed as a TPU worker crash) and tens of thousands of dead loop
+    iterations per insert."""
+    from chad_tsdf_tpu.ops import accumulate as acc_mod
+
+    cb, t_cap = 256, 64
+    # 3 live blocks, everything else reserved
+    slots = jnp.asarray([5, 9, 200] + [cb - 1] * (t_cap - 3), jnp.int32)
+    starts = jnp.asarray(list(range(t_cap)), jnp.int32)
+    lens = jnp.asarray([4] * t_cap, jnp.int32)
+    ng, gstart, glen, grow, starts_s, lens_s, slots_s = \
+        acc_mod.group_touched_blocks(starts, lens, slots, t_cap, cb)
+    n_live = int(jnp.sum(slots_s != cb - 1))
+    assert n_live == 3
+    for g in range(int(ng[0])):
+        assert int(gstart[g]) + int(glen[g]) <= n_live, \
+            (g, int(gstart[g]), int(glen[g]))
+    # group members must cover exactly the live prefix
+    assert sum(int(glen[g]) for g in range(int(ng[0]))) == n_live
