@@ -66,7 +66,7 @@ def _axis_setup(p, d, res, res_recip, trunc):
 
 
 def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
-            n_sub: int, acc_dtype,
+            n_sub: int, acc_dtype, phase,
             pos_ref, org_ref,                       # scalar prefetch (SMEM)
             px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref, sb_ref,
             keys_out, psd_out, pw_out, counts_out):
@@ -148,6 +148,14 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
     okey_all = jnp.concatenate(rows_o, axis=0)
     sd_all = jnp.concatenate(rows_sd, axis=0)
 
+    if phase == "dda":                       # dev knockout (profiling only)
+        keys_out[...] = jnp.full_like(keys_out, INT32_MAX)
+        psd_out[...] = jnp.zeros_like(psd_out)
+        pw_out[...] = jnp.zeros_like(pw_out) + sd_all[0, 0]
+        cnt = jnp.zeros((8, 128), jnp.int32)
+        counts_out[...] = cnt + bkey_all[0, 0] * 0
+        return
+
     # per-subtile slices: the distinct-list extraction below is a chain of
     # nb data-dependent reduction rounds (latency-bound, not
     # throughput-bound); running n_sub independent subtile chains
@@ -162,7 +170,7 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
     # typical tile has far fewer distinct blocks than nb, so rounds run in
     # chunks of EXT_CHUNK with a per-chunk early exit once the previous
     # chunk exhausted the keys (work all-INT32_MAX => min == INT32_MAX).
-    EXT_CHUNK = 4
+    EXT_CHUNK = 8
     assert nb % EXT_CHUNK == 0
 
     def ext_body(work_refs, lst_refs):
@@ -207,72 +215,100 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
         n_ovf += jnp.sum(not_covered.astype(jnp.int32))
         uses.append((valid & covered).astype(jnp.float32))
 
-    # ---- ranks + FACTORIZED one-hot accumulation, with data-dependent
+    if phase == "extract":                   # dev knockout (profiling only)
+        psd_out[...] = jnp.zeros_like(psd_out)
+        pw_out[...] = jnp.zeros_like(pw_out) + uses[0][0, 0]
+        cnt = jnp.zeros((8, 128), jnp.int32)
+        counts_out[...] = cnt + n_ovf * 0
+        return
+
+    # ---- ranks + SLAB-SKIPPED one-hot accumulation, with data-dependent
     # skips:
     # * a rank round whose list slot is exhausted (INT32_MAX) cannot change
     #   any rank (no valid key is >= INT32_MAX) — most tiles use ~60% of nb;
     # * a sample row with no usable samples contributes nothing — DDA tail
-    #   rows are mostly dead (K covers the worst case, the mean is ~2/3).
-    # The 9-bit offset one-hot is factorized off = hi2*128 + lo7: the MXU
-    # matmul becomes (128, C) @ (C, 4*2nb) — for nb<=48 that is 1x3 MXU
-    # (128,128) tiles per row instead of the unfactorized (512, C) @
-    # (C, 2nb->128)'s 4x1, a 25% systolic-array saving, and the one-hot
-    # build shrinks 4x on the VPU.
+    #   rows are mostly dead (K covers the worst case, the mean is ~2/3);
+    # * block ranks are grouped into SLAB=16-rank slabs; a slab whose first
+    #   list slot is INT32_MAX (ascending list => whole slab empty) skips
+    #   BOTH its one-hot build and its matmul.  The bench workload averages
+    #   ~15 distinct blocks/tile (1.4 live slabs of nb=48's 3), so the
+    #   scatter phase pays for observed density, not worst-case capacity.
+    # Accumulator layout is slab-major so each slab owns one (128, 128) MXU
+    # tile: acc[lo, s*128 + plane*64 + hi*16 + rank_in_slab].
     # pl.when bodies may only write refs, so ranks/accs live in scratch.
-    assert 2 * nb <= 128, "factorized accumulate requires 2*nb <= 128"
+    SLAB = 16
+    assert nb % SLAB == 0, "slab-skipped accumulate requires nb % 16 == 0"
+    nslab = nb // SLAB
     rids = jax.lax.broadcasted_iota(jnp.int32, (128, TILE), 0)
-    cids4 = jax.lax.broadcasted_iota(jnp.int32, (4 * 2 * nb, TILE), 0)
-    hi_col = cids4 // (2 * nb)
-    j_col = cids4 % (2 * nb)
-    is_w = (j_col >= nb).astype(jnp.float32)
-    blk_col = jnp.where(j_col >= nb, j_col - nb, j_col)
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (128, TILE), 0)
+    rank_hi_col = ccol & 63                      # hi*16 + rank_in_slab
+    is_w_col = ccol >= 64                        # plane: rows 64.. = weight
 
     def acc_ref_body(lrow_refs, acc_refs):
         for s in range(n_sub):
             lrow_refs[s][...] = jnp.zeros((k, TILE), jnp.int32)
-            acc_refs[s][...] = jnp.zeros((128, 4 * 2 * nb), jnp.float32)
-        for r in range(1, nb):
+            acc_refs[s][...] = jnp.zeros((128, nslab * 128), jnp.float32)
+        # rank rounds chunked under one guard each — per-round pl.when
+        # regions measurably stall the vector pipeline at this granularity
+        RANK_CHUNK = 8
+        for c in range(0, nb, RANK_CHUNK):
             for s in range(n_sub):
-                def add_rank(s=s, r=r):
-                    lrow_refs[s][...] += \
-                        (bkeys[s] >= lsts[s][r]).astype(jnp.int32)
-                pl.when(lsts[s][r] != INT32_MAX)(add_rank)
-        for r in range(k):
-            for s in range(n_sub):
-                def row_update(s=s, r=r):
-                    sl = sub[s]
-                    offr = okey_all[r:r + 1, sl]
-                    lrr = lrow_refs[s][r:r + 1, :]
-                    sdr = sd_all[r:r + 1, sl]
-                    user = uses[s][r:r + 1]
-                    lo = offr & 127
-                    hi = offr >> 7
-                    oh = (lo == rids).astype(acc_dtype)        # (128, C)
-                    sel = ((blk_col == lrr) & (hi_col == hi)
-                           ).astype(jnp.float32) * user        # (8nb, C)
-                    vals_t = (sel *
-                              (is_w + (1.0 - is_w) * sdr)).astype(acc_dtype)
-                    acc_refs[s][...] += jax.lax.dot_general(
-                        oh, vals_t, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                pl.when(jnp.any(uses[s][r:r + 1] > 0))(row_update)
-        # acc[lo, hi*2nb + j] -> psd/pw row j, column off = hi*128 + lo
+                def add_ranks(s=s, c=c):
+                    acc = lrow_refs[s][...]
+                    for r in range(max(c, 1), c + RANK_CHUNK):
+                        acc += (bkeys[s] >= lsts[s][r]).astype(jnp.int32)
+                    lrow_refs[s][...] = acc
+                pl.when(lsts[s][c] != INT32_MAX)(add_ranks)
+        for s in range(n_sub):
+            for sl in range(nslab):
+                def slab_update(s=s, sl=sl):
+                    sb_ = sub[s]
+                    acc = acc_refs[s][:, sl * 128:(sl + 1) * 128]
+                    for r in range(k):
+                        offr = okey_all[r:r + 1, sb_]
+                        lrr = lrow_refs[s][r:r + 1, :]
+                        sdr = sd_all[r:r + 1, sb_]
+                        user = uses[s][r:r + 1]
+                        # use-mask folded into the (1, C) lo row: a zero
+                        # oh column kills the sample on the matmul's other
+                        # side for free
+                        lo = jnp.where(user > 0, offr & 127, -1)
+                        hi = offr >> 7
+                        oh = (lo == rids).astype(acc_dtype)    # (128, C)
+                        # out-of-slab ranks must NOT alias into another hi
+                        # bucket: j only indexes this slab when 0 <= j < 16
+                        j = lrr - sl * SLAB
+                        in_slab = (j >= 0) & (j < SLAB)
+                        m = jnp.where(in_slab, hi * SLAB + j, -1)
+                        ind = (rank_hi_col == m)
+                        wsd = jnp.where(is_w_col, 1.0, sdr)
+                        vals = (ind.astype(jnp.float32) *
+                                wsd).astype(acc_dtype)         # (128, C)
+                        acc = acc + jax.lax.dot_general(
+                            oh, vals, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    acc_refs[s][:, sl * 128:(sl + 1) * 128] = acc
+                pl.when(lsts[s][sl * SLAB] != INT32_MAX)(slab_update)
+        # unscramble: acc[lo, s*128 + plane*64 + hi*16 + j] -> psd/pw row
+        # (s*16 + j), column off = hi*128 + lo — one (128, 128) transpose
+        # per slab, then hi chunks concatenate along lanes
         psd_parts, pw_parts = [], []
         for s in range(n_sub):
-            at = acc_refs[s][...].T                  # (8nb, 128)
-            psd_parts.append(jnp.concatenate(
-                [at[h * 2 * nb: h * 2 * nb + nb, :] for h in range(4)],
-                axis=1))                             # (nb, 512)
-            pw_parts.append(jnp.concatenate(
-                [at[h * 2 * nb + nb: (h + 1) * 2 * nb, :] for h in range(4)],
-                axis=1))
+            for sl in range(nslab):
+                at = acc_refs[s][:, sl * 128:(sl + 1) * 128].T  # (128, 128)
+                psd_parts.append(jnp.concatenate(
+                    [at[h * SLAB: (h + 1) * SLAB, :] for h in range(4)],
+                    axis=1))                                    # (16, 512)
+                pw_parts.append(jnp.concatenate(
+                    [at[64 + h * SLAB: 64 + (h + 1) * SLAB, :]
+                     for h in range(4)], axis=1))
         psd_out[...] = jnp.concatenate(psd_parts, axis=0)
         pw_out[...] = jnp.concatenate(pw_parts, axis=0)
 
     pl.run_scoped(
         acc_ref_body,
         lrow_refs=[pltpu.VMEM((k, TILE), jnp.int32) for _ in range(n_sub)],
-        acc_refs=[pltpu.VMEM((128, 4 * 2 * nb), jnp.float32)
+        acc_refs=[pltpu.VMEM((128, nslab * 128), jnp.float32)
                   for _ in range(n_sub)])
 
     # counters in row 0, lanes [0..2]; 8-sublane block for TPU tiling
@@ -288,7 +324,8 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
 def fused_tile_partials(px, py, pz, nx, ny, nz, sb, position, origin_voxel,
                         *, nb: int, k: int, res: float, trunc: float,
                         extent: int, n_sub: int = 4,
-                        interpret: bool = False, acc_dtype=None):
+                        interpret: bool = False, acc_dtype=None,
+                        _phase: str = "full"):
     """Fused DDA + tile accumulation over Morton-sorted points.
 
     px..nz: f32[N] sorted coords and normals; sb: i32[N] sorted block key
@@ -332,7 +369,7 @@ def fused_tile_partials(px, py, pz, nx, ny, nz, sb, position, origin_voxel,
     )
     return pl.pallas_call(
         functools.partial(_kernel, nb, k, float(res), float(trunc),
-                          int(extent), n_sub, acc_dtype),
+                          int(extent), n_sub, acc_dtype, _phase),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t * nb, 1), jnp.int32),
