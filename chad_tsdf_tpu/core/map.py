@@ -35,6 +35,41 @@ from . import dag, integrate, submap as submap_mod
 from .state import create_state, origin_blocks_for_position
 
 
+class LazyMetrics(dict):
+    """Per-insert metrics whose values stay on device until first read.
+
+    A host scalar readback through the axon relay costs a ~28 ms round trip
+    AND degrades the next several dispatches >10x (bench.py's documented
+    quirk), so ``insert`` must not materialize its counters eagerly — a
+    streaming loop that ignores the return value then runs sync-free.
+    Reading any key converts (and caches) that value as a plain int.
+    """
+
+    def __getitem__(self, key):
+        v = super().__getitem__(key)
+        if not isinstance(v, int):
+            v = int(v)
+            super().__setitem__(key, v)
+        return v
+
+    def get(self, key, default=None):
+        return self[key] if key in self else default
+
+    def items(self):
+        return [(k, self[k]) for k in self]
+
+    def values(self):
+        return [self[k] for k in self]
+
+    def materialize(self) -> "LazyMetrics":
+        for k in self:
+            self[k]
+        return self
+
+    def __repr__(self):
+        return repr(dict(self.materialize()))
+
+
 class TSDFMap:
     def __init__(self, sdf_res: float = 0.05, sdf_trunc: float = 0.1,
                  config: MapConfig | None = None):
@@ -100,15 +135,24 @@ class TSDFMap:
             cfg = self._dispatch_config(points[beg:beg + cap])
             self.state, metrics = integrate.insert_step(
                 self.state, chunk, np.int32(n), position, cfg)
+            # accumulate on device: no host readback on the insert path
+            # (LazyMetrics docstring — a sync here stalls the stream)
             for k, v in metrics.items():
-                metrics_acc[k] = metrics_acc.get(k, 0) + int(v)
+                metrics_acc[k] = (metrics_acc[k] + v) if k in metrics_acc \
+                    else v
+        metrics_acc = LazyMetrics(metrics_acc)
         if self.config.profile:
             jax.block_until_ready(self.state.pool_sd)
             metrics_acc["wall_ms"] = (time.perf_counter() - t0) * 1e3
             print(f"insert   {metrics_acc.get('wall_ms', 0):8.2f} ms  "
                   f"samples={metrics_acc['n_valid_samples']} "
                   f"blocks={metrics_acc['n_blocks']}")
-        self._warn_overflow()
+        self._n_inserts = getattr(self, "_n_inserts", 0) + 1
+        # overflow check costs a readback — amortize it over the stream
+        # (it also runs at every rotation/finalize, so nothing is missed
+        # for long: the counters are cumulative per active map)
+        if self._n_inserts % 64 == 0 or self.config.profile:
+            self._warn_overflow()
         self.last_metrics = metrics_acc
         return metrics_acc
 
