@@ -181,18 +181,25 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
             for s in range(n_sub):
                 first = jnp.min(work_refs[s][...])
 
-                def do_chunk(s=s, c=c, first=first):
+                def do_chunk(s=s, c=c):
+                    # mins stay (1, 1)-shaped vectors end to end: a scalar
+                    # jnp.min here forces a vreg->sreg->vreg round trip per
+                    # round (~100 cycles each), which measured as ~2/3 of
+                    # the whole extraction phase
                     w = work_refs[s][...]
                     mins = []
-                    m = first
                     for j in range(EXT_CHUNK):
-                        if j > 0:
-                            m = jnp.min(w)
+                        m = jnp.min(jnp.min(w, axis=0, keepdims=True),
+                                    axis=1, keepdims=True)        # (1, 1)
                         mins.append(m)
-                        w = jnp.where(w == m, INT32_MAX, w)
+                        # Mosaic cannot broadcast (1,1)->(K,TILE) in one
+                        # step; lane-broadcast first, sublane-broadcast in
+                        # the compare
+                        mrow = jnp.broadcast_to(m, (1, TILE))
+                        w = jnp.where(w == mrow, INT32_MAX, w)
                     work_refs[s][...] = w
                     lst_refs[s][pl.ds(c, EXT_CHUNK), :] = \
-                        jnp.stack(mins).reshape(EXT_CHUNK, 1)
+                        jnp.concatenate(mins, axis=0)
 
                 pl.when(first != INT32_MAX)(do_chunk)
         return ([lst_refs[s][...] for s in range(n_sub)],
@@ -254,6 +261,9 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
         for c in range(0, nb, RANK_CHUNK):
             for s in range(n_sub):
                 def add_ranks(s=s, c=c):
+                    # compare against (1, 1) row slices of the list vector,
+                    # not extracted scalars (same vreg-round-trip reasoning
+                    # as the extraction rounds above)
                     acc = lrow_refs[s][...]
                     for r in range(max(c, 1), c + RANK_CHUNK):
                         acc += (bkeys[s] >= lsts[s][r]).astype(jnp.int32)
