@@ -42,13 +42,19 @@ class LazyMetrics(dict):
     AND degrades the next several dispatches >10x (bench.py's documented
     quirk), so ``insert`` must not materialize its counters eagerly — a
     streaming loop that ignores the return value then runs sync-free.
-    Reading any key converts (and caches) that value as a plain int.
+    Reading any key converts (and caches) that value as a plain Python
+    scalar; host-side floats (e.g. ``wall_ms``) pass through untouched.
+
+    Limitation: only ``[]``/``get``/``items``/``values``/``copy`` routed
+    through ``materialize`` — ``dict(m)``, ``**m`` and ``==`` use dict's C
+    fast paths and can leak raw device scalars; call ``materialize()``
+    first when handing the dict to code that needs plain ints (json etc.).
     """
 
     def __getitem__(self, key):
         v = super().__getitem__(key)
-        if not isinstance(v, int):
-            v = int(v)
+        if not isinstance(v, (int, float)):
+            v = v.item()
             super().__setitem__(key, v)
         return v
 
@@ -65,6 +71,9 @@ class LazyMetrics(dict):
         for k in self:
             self[k]
         return self
+
+    def copy(self) -> dict:
+        return dict(self.materialize())
 
     def __repr__(self):
         return repr(dict(self.materialize()))
@@ -217,51 +226,117 @@ class TSDFMap:
         self.state = create_state(self.config, origin)
         self._positions = []
 
+    @staticmethod
+    def _anchor_from(positions) -> np.ndarray:
+        a = np.eye(4, dtype=np.float64)
+        if positions:
+            a[:3, 3] = np.asarray(positions[0], np.float64)
+        return a
+
     def _finalize_active(self) -> None:
         sm = submap_mod.finalize(self.state, self.levels, self.config,
                                  self._positions)
+        sm.anchor = self._anchor_from(self._positions)
         self.submaps.append(sm)
+
+    def finalize_active(self) -> None:
+        """Finalize the current active map into a submap immediately — the
+        rotation step of tsdf.cpp:46-61, callable explicitly (e.g. before
+        ``optimize_loop_closures`` so the last leg participates as a
+        first-class submap rather than a transient snapshot)."""
+        if self.state is not None and int(self.state.n_blocks) > 0:
+            self._finalize_active()
+        self.state = None
+        self._positions = []
+        self._active_snapshot = None
 
     # ------------------------------------------------------------------
     def _all_submaps(self) -> list[submap_mod.Submap]:
-        """Finalized submaps plus a cached snapshot of the active one."""
+        """Finalized submaps plus a cached snapshot of the active one.
+
+        The snapshot is consed into a throwaway scratch ``NodeLevels`` (the
+        Submap carries it), so repeated save()/extract_mesh() on a live map
+        never grows the persistent ``self.levels`` pools or skews their
+        uniques/dupes compression counters."""
         out = list(self.submaps)
         if self.state is not None and int(self.state.n_blocks) > 0:
             if self._active_snapshot is None:
-                self._active_snapshot = submap_mod.finalize(
-                    self.state, self.levels, self.config, self._positions)
+                scratch = dag.NodeLevels()
+                sm = submap_mod.finalize(
+                    self.state, scratch, self.config, self._positions)
+                sm.levels = scratch
+                sm.anchor = self._anchor_from(self._positions)
+                self._active_snapshot = sm
             out.append(self._active_snapshot)
         return out
 
+    def _sm_levels(self, sm: submap_mod.Submap) -> dag.NodeLevels:
+        return sm.levels if sm.levels is not None else self.levels
+
+    def _reanchor_codes(self, codes: np.ndarray,
+                        transform: np.ndarray) -> np.ndarray:
+        """Map world voxel codes through a rigid correction: decode to voxel
+        centers, transform, re-discretize (floor(p/res), morton.hpp:71)."""
+        coords = morton.np_decode63(codes)
+        res = self.config.sdf_res
+        centers = (coords.astype(np.float64) + 0.5) * res
+        t = np.asarray(transform, np.float64)
+        moved = centers @ t[:3, :3].T + t[:3, 3]
+        vox = np.floor(moved / res).astype(np.int32)
+        return morton.np_encode63(vox)
+
     def voxel_samples(self, submaps=None):
-        """All (voxel Morton code uint64, signed distance f32) samples of the
-        selected submaps' TSDF DAGs (deduplicated, later submaps win)."""
+        """All (voxel Morton code uint64, signed distance f32) samples of
+        the selected submaps' TSDF DAGs.
+
+        Voxels seen by several submaps (overlap) are fused by a weighted
+        mean over the stored quantized weights — what a single pool seeing
+        all samples would produce, up to output-codec quantization.  (The
+        reference sidesteps overlap by meshing only the first submap,
+        tsdf.cpp:85.)  Submaps carrying a loop-closure correction
+        (``optimize_loop_closures``) are re-anchored first.
+        """
         if submaps is None:
             submaps = self._all_submaps()
-        all_codes, all_sd = [], []
+        all_codes, all_sd, all_w = [], [], []
         for sm in submaps:
-            ccodes, words = self.levels.walk_leaf_clusters(sm.root_addr_tsdf)
-            leaves = codec.unpack_cluster_u64(np, words)      # (M, 8)
-            present = leaves != codec.EMPTY
+            levels = self._sm_levels(sm)
+            ccodes, words_t = levels.walk_leaf_clusters(sm.root_addr_tsdf)
+            _, words_w = levels.walk_leaf_clusters(sm.root_addr_weight)
+            lt = codec.unpack_cluster_u64(np, words_t)        # (M, 8)
+            lw = codec.unpack_cluster_u64(np, words_w)
+            present = lt != codec.EMPTY
             vox_codes = (ccodes[:, None] << np.uint64(3)) | \
                 np.arange(8, dtype=np.uint64)[None, :]
-            sd = codec.decode_sd(np, leaves, self.config.sdf_trunc)
-            all_codes.append(vox_codes[present])
+            sd = codec.decode_sd(np, lt, self.config.sdf_trunc)
+            codes_i = vox_codes[present]
+            if sm.corrected is not None:
+                codes_i = self._reanchor_codes(codes_i, sm.corrected)
+            all_codes.append(codes_i)
             all_sd.append(sd[present].astype(np.float32))
+            all_w.append(np.maximum(lw[present].astype(np.float32), 1.0))
         if not all_codes:
             return np.zeros(0, np.uint64), np.zeros(0, np.float32)
         codes = np.concatenate(all_codes)
         sd = np.concatenate(all_sd)
-        # dedup keeping the last occurrence (most recent submap)
-        _, idx = np.unique(codes[::-1], return_index=True)
-        keep = codes.shape[0] - 1 - idx
-        return codes[keep], sd[keep]
+        w = np.concatenate(all_w)
+        order = np.argsort(codes, kind="stable")
+        codes, sd, w = codes[order], sd[order], w[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]]))
+        wsum = np.add.reduceat(w, starts)
+        sdw = np.add.reduceat(sd * w, starts)
+        return codes[starts], (sdw / wsum).astype(np.float32)
 
-    def extract_mesh(self, optimize_iterations: int = 0):
+    def extract_mesh(self, optimize_iterations: int = 0,
+                     optimize_method: str = "planar"):
         """Marching-cubes mesh of the map.
 
-        ``optimize_iterations > 0`` runs contour smoothing analogous to the
-        reference's LVR2 ``optimizePlanarFaces(mesh, 5)`` (lvr2.cpp:262-266).
+        ``optimize_iterations > 0`` runs contour optimization analogous to
+        the reference's LVR2 ``optimizePlanarFaces(mesh, 5)``
+        (lvr2.cpp:262-266): method ``"planar"`` (default) clusters planar
+        regions and projects contour vertices onto plane intersections;
+        ``"taubin"`` is the generic shrink-free smoother.
         """
         submaps = self._all_submaps()
         if self.config.mesh_first_submap_only and submaps:
@@ -276,8 +351,14 @@ class TSDFMap:
         else:
             mesh = marching_cubes(codes, sd, self.config.sdf_res)
         if optimize_iterations > 0:
-            from ..mesh.optimize import taubin_smooth
-            mesh = taubin_smooth(mesh, optimize_iterations)
+            if optimize_method == "planar":
+                from ..mesh.optimize import optimize_planar_faces
+                mesh = optimize_planar_faces(mesh, optimize_iterations)
+            elif optimize_method == "taubin":
+                from ..mesh.optimize import taubin_smooth
+                mesh = taubin_smooth(mesh, optimize_iterations)
+            else:
+                raise ValueError(f"bad optimize_method {optimize_method!r}")
         return mesh
 
     def save(self, filename: str) -> None:
@@ -318,8 +399,9 @@ class TSDFMap:
         (tsdf.hpp:120-155)."""
         submaps = [submap] if submap is not None else self._all_submaps()
         for sm in submaps:
-            ccodes, words_t = self.levels.walk_leaf_clusters(sm.root_addr_tsdf)
-            _, words_w = self.levels.walk_leaf_clusters(sm.root_addr_weight)
+            levels = self._sm_levels(sm)
+            ccodes, words_t = levels.walk_leaf_clusters(sm.root_addr_tsdf)
+            _, words_w = levels.walk_leaf_clusters(sm.root_addr_weight)
             lt = codec.unpack_cluster_u64(np, words_t)
             lw = codec.unpack_cluster_u64(np, words_w)
             present = lt != codec.EMPTY
@@ -365,13 +447,59 @@ class TSDFMap:
         reference's declared-but-unbuilt map merging (tsdf.hpp:161).
         DAG contents are re-consed into this map's levels."""
         for sm in other._all_submaps():
-            codes, words_t = other.levels.walk_leaf_clusters(sm.root_addr_tsdf)
-            _, words_w = other.levels.walk_leaf_clusters(sm.root_addr_weight)
+            levels = other._sm_levels(sm)
+            codes, words_t = levels.walk_leaf_clusters(sm.root_addr_tsdf)
+            _, words_w = levels.walk_leaf_clusters(sm.root_addr_weight)
             new_sm = _rebuild_submap(self.levels, codes, words_t, words_w,
                                      sm.positions)
+            new_sm.anchor = sm.anchor
+            new_sm.corrected = sm.corrected
             self.submaps.append(new_sm)
 
+    def optimize_loop_closures(self, loop_edges=(), iterations: int = 20,
+                               damping: float = 1e-6, mesh=None) -> dict:
+        """Pose-graph loop closure over finalized submaps — the reference's
+        roadmap item (README.md:59; declared surface tsdf.hpp:158-161).
+
+        Odometry edges come from the stored submap anchors (measured
+        relative pose between consecutive submaps); ``loop_edges`` is an
+        iterable of ``(i, j, T_rel (4,4), weight)`` constraints from e.g.
+        place recognition + scan matching (outside this library's scope).
+        Gauss-Newton runs in ``slam/posegraph.py`` (with ``mesh`` given,
+        per-edge normal-equation blocks reduce via psum over the device
+        mesh).  Each submap is then re-anchored: the rigid correction
+        ``T_opt[i] @ inv(anchor[i])`` is applied to its voxels at
+        mesh/query time (voxel_samples/extract_mesh/raycast).
+
+        Returns the optimizer stats dict (initial/final cost, iterations).
+        """
+        from ..slam import posegraph as pg
+        if self.state is not None and int(self.state.n_blocks) > 0:
+            # include the live map as a (snapshotted) trailing node so its
+            # pose participates; its correction applies via the snapshot
+            subs = self._all_submaps()
+        else:
+            subs = list(self.submaps)
+        if len(subs) < 2:
+            return {"initial_cost": 0.0, "final_cost": 0.0, "iterations": 0}
+        anchors = np.stack([
+            sm.anchor if sm.anchor is not None else np.eye(4)
+            for sm in subs]).astype(np.float64)
+        graph = pg.make_odometry_edges(anchors.astype(np.float32))
+        for (i, j, z, w) in loop_edges:
+            graph = pg.add_edge(graph, int(i), int(j),
+                                np.asarray(z, np.float32), float(w))
+        poses_opt, stats = pg.optimize_poses(
+            graph, anchors.astype(np.float32), iterations=iterations,
+            damping=damping, mesh=mesh)
+        for sm, a, p in zip(subs, anchors, poses_opt):
+            corr = p.astype(np.float64) @ np.linalg.inv(a)
+            sm.corrected = None if np.allclose(corr, np.eye(4), atol=1e-7) \
+                else corr
+        return stats
+
     def stats(self) -> dict:
+        self._warn_overflow()
         s = self.levels.stats()
         s["n_submaps"] = len(self.submaps)
         if self.state is not None:

@@ -33,12 +33,27 @@ from .state import ActiveMapState
 
 @dataclasses.dataclass
 class Submap:
-    """Finalized submap: two DAG roots + trajectory (submap.hpp:108-110)."""
+    """Finalized submap: two DAG roots + trajectory (submap.hpp:108-110).
+
+    ``levels``: the NodeLevels the roots index into when it is NOT the
+    owning map's global DAG (e.g. a throwaway active-map snapshot consed
+    into scratch levels so repeated save()/extract_mesh() on a live map
+    never pollutes the persistent pools).  None = the map's levels.
+
+    ``anchor``: (4, 4) world pose of the submap frame recorded at creation
+    (first scanner pose).  Voxel codes are stored in world frame; loop
+    closure corrects a submap by re-anchoring: applying
+    ``T_corrected @ inv(anchor)`` to its voxel positions at mesh/query time
+    (see TSDFMap.optimize_loop_closures).  None = identity (uncorrected).
+    """
     root_addr_tsdf: int
     root_addr_weight: int
     positions: list
     n_clusters: int = 0
     n_voxels: int = 0
+    levels: object = None
+    anchor: object = None
+    corrected: object = None   # (4,4) np pose set by loop-closure optimize
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "sdf_trunc"))

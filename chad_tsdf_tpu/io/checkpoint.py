@@ -72,6 +72,11 @@ def save_checkpoint(path: str, m: TSDFMap) -> None:
     for i, sm in enumerate(m.submaps):
         arrays[f"submap_{i}_positions"] = np.asarray(sm.positions,
                                                     np.float32).reshape(-1, 3)
+        if sm.anchor is not None:
+            arrays[f"submap_{i}_anchor"] = np.asarray(sm.anchor, np.float64)
+        if sm.corrected is not None:
+            arrays[f"submap_{i}_corrected"] = np.asarray(sm.corrected,
+                                                         np.float64)
     if active is not None:
         # occupied-only pool serialization: allocation is sequential
         # (core/integrate._directory_update assigns slot = n_blocks + rank),
@@ -124,9 +129,14 @@ def load_checkpoint(path: str, mesh=None) -> TSDFMap:
 
     for i, sm_meta in enumerate(meta["submaps"]):
         pos = [p for p in z[f"submap_{i}_positions"]]
-        m.submaps.append(Submap(sm_meta["root_addr_tsdf"],
-                                sm_meta["root_addr_weight"], pos,
-                                sm_meta["n_clusters"], sm_meta["n_voxels"]))
+        sm = Submap(sm_meta["root_addr_tsdf"],
+                    sm_meta["root_addr_weight"], pos,
+                    sm_meta["n_clusters"], sm_meta["n_voxels"])
+        if f"submap_{i}_anchor" in z:
+            sm.anchor = np.asarray(z[f"submap_{i}_anchor"])
+        if f"submap_{i}_corrected" in z:
+            sm.corrected = np.asarray(z[f"submap_{i}_corrected"])
+        m.submaps.append(sm)
     if meta["has_active"]:
         counters = [int(x) for x in z["active_counters"]]
         counters += [0] * (6 - len(counters))   # older checkpoints

@@ -261,9 +261,10 @@ def _kernel(nb: int, k: int, res: float, trunc: float, extent: int,
         for c in range(0, nb, RANK_CHUNK):
             for s in range(n_sub):
                 def add_ranks(s=s, c=c):
-                    # compare against (1, 1) row slices of the list vector,
-                    # not extracted scalars (same vreg-round-trip reasoning
-                    # as the extraction rounds above)
+                    # NOTE: unlike the extraction rounds above, these
+                    # compares use extracted scalars (lst_vecs[s][r, 0]) —
+                    # the (1, 1)-slice form was tried and did not measure
+                    # faster here (the guard granularity dominates)
                     acc = lrow_refs[s][...]
                     for r in range(max(c, 1), c + RANK_CHUNK):
                         acc += (bkeys[s] >= lsts[s][r]).astype(jnp.int32)

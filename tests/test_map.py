@@ -165,3 +165,18 @@ def test_bucketed_insert_matches_full_shape():
     c2, s2 = m_f.voxel_samples()
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_live_snapshot_does_not_pollute_persistent_dag():
+    """Repeated extract_mesh()/save-style snapshots of a LIVE map must leave
+    the persistent DAG pools untouched: the active snapshot is consed into
+    throwaway scratch levels, so long missions with periodic saves never
+    inflate the global pools or their uniques/dupes compression stats."""
+    m = TSDFMap(config=MapConfig(**SMALL))
+    m.insert(sphere_points(2048, r=1.0), np.zeros(3))
+    stats0 = m.levels.stats()
+    for _ in range(3):
+        mesh = m.extract_mesh()
+        assert mesh.n_vertices > 0
+        m._active_snapshot = None          # force a fresh snapshot each time
+    assert m.levels.stats() == stats0

@@ -214,3 +214,68 @@ def test_golden_mesh_regression():
     # and both meshes must sit on the analytic r=2 sphere
     assert analytic_sphere_rmse(mesh.vertices, 2.0) < 1e-3
     assert analytic_sphere_rmse(g["vertices"], 2.0) < 1e-3
+
+
+def _plane_samples(normal, offset, res=0.05, half=1.0, band=0.1):
+    """Voxels within ``band`` of the plane n.p = offset over a square patch."""
+    n = np.asarray(normal, np.float64)
+    n = n / np.linalg.norm(n)
+    m = int(np.ceil(half / res))
+    axis = np.arange(-m, m + 1, dtype=np.int32)
+    gx, gy, gz = np.meshgrid(axis, axis, axis, indexing="ij")
+    vox = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+    dist = vox.astype(np.float64) * res @ n - offset
+    keep = np.abs(dist) <= band
+    vox, dist = vox[keep], dist[keep]
+    return morton.np_encode63(vox), dist.astype(np.float32), n
+
+
+def test_planar_optimize_coplanarizes_tilted_plane():
+    """Reference parity: optimizePlanarFaces (lvr2.cpp:262-266).  A tilted
+    plane meshed from 8-bit-quantized samples has staircase artifacts; the
+    planar pass must pull vertices onto the regression plane without moving
+    the surface (no volume loss)."""
+    import jax.numpy as jnp
+    from chad_tsdf_tpu.mesh.optimize import optimize_planar_faces
+    from chad_tsdf_tpu.ops import codec
+
+    codes, sd, n = _plane_samples([0.2, 0.1, 1.0], 0.1234)
+    sd_q = np.asarray(codec.decode_sd(
+        jnp, codec.encode_sd(jnp, jnp.asarray(sd), 0.1), 0.1))
+    mesh = marching_cubes(codes, sd_q, 0.05)
+    assert mesh.n_faces > 100
+    opt = optimize_planar_faces(mesh, 5)
+
+    def planarity_rms(v):
+        # RMS distance to the BEST-FIT plane: the 8-bit codec's floor bias
+        # shifts the whole surface ~half a quantum along the normal, so
+        # distance to the *true* plane measures that bias, not staircase.
+        # Interior only: the patch's cut border has open fan geometry the
+        # optimizer rightly treats as contour.
+        r = np.max(np.abs(v[:, :2]))
+        v = v[np.all(np.abs(v[:, :2]) < 0.8 * r, axis=1)]
+        c = v.mean(axis=0)
+        w = np.linalg.svd(v - c, full_matrices=False)[2][-1]
+        d = (v - c) @ w
+        return float(np.sqrt(np.mean(d * d)))
+
+    rms0 = planarity_rms(mesh.vertices.astype(np.float64))
+    rms1 = planarity_rms(opt.vertices.astype(np.float64))
+    assert rms1 < 0.2 * rms0, (rms0, rms1)
+    # no volume loss/drift: mean offset along the normal stays put
+    d0 = mesh.vertices.astype(np.float64) @ n
+    d1 = opt.vertices.astype(np.float64) @ n
+    assert abs(d1.mean() - d0.mean()) < 0.001
+
+
+def test_planar_optimize_leaves_sphere_alone():
+    """The planarity gate must reject smoothly curved regions: pairwise
+    normal agreement chains around a sphere, but the cluster-level check
+    discards it, so the sphere mesh is returned unchanged."""
+    from chad_tsdf_tpu.mesh.optimize import optimize_planar_faces
+
+    codes, sd = _sphere_samples(2.0, 0.05)
+    mesh = marching_cubes(codes, sd, 0.05)
+    opt = optimize_planar_faces(mesh, 5)
+    disp = np.linalg.norm(opt.vertices - mesh.vertices, axis=1)
+    assert float(disp.max()) < 1e-6
