@@ -97,13 +97,21 @@ class MapConfig:
     # between — a knife-edge threshold makes borderline streams flip
     # backends per scan, each flip costing a full XLA compile mid-stream.
     sparse_points_per_block: float = 64.0
-    sparse_impl: str = "sample_tile"
+    # sparse backend: 'seg' = voxel-sorted segment reduction + compacted
+    # scatter (core/integrate.insert_step_sparse_seg) — no tiles, no
+    # fallback, tile_overflow 0 by construction; 'sample_tile' kept as the
+    # previous tiling approach
+    sparse_impl: str = "seg"
     # distinct-block-list capacity per 1024-SAMPLE tile of the sample_tile
     # path (ops/tile_accum over the block-sorted sample stream).  Sorted
     # consecutive samples touch <= 1024/avg-segment distinct blocks, so 128
     # covers any cloud averaging >= 8 samples per touched block; beyond it
     # the exact sort fallback runs (counted in tile_overflow).
     sparse_tile_nb: int = 128
+    # max rotated-out submaps whose device->host cluster transfer may stay
+    # in flight before the oldest is forced to materialize (bounds device
+    # memory held by deferred finalizes; see core/submap.PendingSubmap)
+    max_pending_finalize: int = 4
     # print per-stage wall times like the reference's fmt timers
     # (morton.hpp:78,100, normals.hpp:146, octree.hpp:169, tsdf.cpp:74)
     profile: bool = False
@@ -160,7 +168,8 @@ class MapConfig:
             raise ValueError("sdf_res and sdf_trunc must be positive")
         if 3 * self.block_bits > 31:
             raise ValueError("block_bits too large for int32 Morton keys")
-        impls = ("auto", "fused", "tile", "sample_tile", "pallas", "xla")
+        impls = ("auto", "fused", "tile", "sample_tile", "seg", "pallas",
+                 "xla")
         if self.accumulate_impl not in impls:
             raise ValueError(f"bad accumulate_impl {self.accumulate_impl!r}")
         if self.sparse_impl not in impls[1:]:

@@ -506,6 +506,9 @@ def insert_step_impl(state: ActiveMapState, points, n_points, position,
     if impl == "sample_tile":
         return insert_step_sample_tiled(state, points, n_points, position,
                                         config)
+    if impl == "seg":
+        return insert_step_sparse_seg(state, points, n_points, position,
+                                      config)
     batch = compute_samples(points, n_points, position, state.origin_blocks,
                             config)
     batch = sort_samples(batch)
@@ -632,6 +635,150 @@ def insert_step_sample_tiled(state: ActiveMapState, points, n_points,
     metrics["n_new_blocks"] = metrics["n_new_blocks"] + extra_new
     metrics["n_blocks"] = state.n_blocks
     return state, metrics
+
+
+def insert_step_sparse_seg(state: ActiveMapState, points, n_points,
+                           position, config: MapConfig,
+                           interpret: bool | None = None):
+    """Sparse-cloud insert: voxel-sorted segment reduction + compacted
+    scatter — no tiles, no fallback, ``tile_overflow`` stays 0 by
+    construction.
+
+    LiDAR-shaped clouds (KITTI: ~12 points/block, ~0.3 unique voxels per
+    DDA sample) break every per-point tiling assumption, and XLA's
+    scatter-add costs scale with the INDEX ARRAY LENGTH, not the live
+    count (measured v5e: 1.31M-entry scatter 33.6 ms whether 1.31M or
+    388k entries are live).  So the pipeline reduces first, scatters a
+    compacted prefix last:
+
+    1. one 2-key sort brings equal (block, offset) voxels contiguous
+       (the payload's top 9 bits ARE the offset — measured the same cost
+       as the 1-key sort);
+    2. a segmented scan produces exact per-voxel (sd-sum, weight) at each
+       segment end (quantized-int sums carried in f32 — exact, and no
+       cumsum-difference cancellation);
+    3. segment-end entries are compacted to a prefix with ONE sort keyed on
+       flagged position, the entry fields riding as sort payloads (gathers
+       at this scale cost more than the whole sort on TPU);
+    4. a ``lax.switch`` picks the smallest {S/4, 3S/8, S/2, S} entry bucket
+       that fits the live count, so the per-entry stages (touched-block
+       discovery, directory update, pool scatter) run at unique-voxel
+       scale, not sample scale — and the S bucket keeps the path lossless
+       (entries are positions in S, so e_total <= S always).
+
+    Replaces the reference's per-sample hashmap upsert (octree.hpp:153-163)
+    at its actual outdoor-LiDAR operating point (README.md:12-13
+    "real-time").
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    del interpret   # pure-XLA path: identical code on CPU and TPU
+    cb = config.block_capacity
+    t_cap = config.touched_capacity
+    reserved_row = cb - 1
+
+    batch = compute_samples(points, n_points, position, state.origin_blocks,
+                            config)
+    sb, sp = jax.lax.sort((batch.bkey, batch.payload), num_keys=2)
+    s = sb.shape[0]
+    valid = sb != INT32_MAX
+    n_valid_samples = jnp.sum(valid).astype(jnp.int32)
+    okey = (sp >> 16) & 0x1FF
+    q = (sp << 16) >> 16                       # sign-extended sd16
+
+    raw_flags = segops.boundary_flags((sb, okey))
+    vflags = raw_flags & valid
+    vals = jnp.stack([q.astype(jnp.float32), jnp.ones((s,), jnp.float32)])
+    vals = vals * valid.astype(jnp.float32)[None, :]
+    sums = segops.segmented_sum_scan(vflags, vals)          # (2, S)
+    # a voxel ends where the NEXT sample starts a new key — including the
+    # valid->invalid transition (raw flags, NOT the valid-masked ones, or
+    # the last valid voxel of the stream would never emit an entry)
+    is_end = jnp.concatenate([raw_flags[1:], jnp.ones((1,), jnp.bool_)])
+    live_end = is_end & valid
+
+    # entry compaction: ONE sort keyed on flagged position with the entry
+    # fields riding as payload operands — an XLA gather of 655k rows costs
+    # ~8.6 ms per array on v5e while this whole 5-operand sort is ~7.6 ms
+    # (same no-gather trick as sort_points_soa)
+    iota = jnp.arange(s, dtype=jnp.int32)
+    marked = jnp.where(live_end, iota, jnp.int32(s))
+    ek = jnp.where(live_end, sb, INT32_MAX)
+    eo = jnp.where(live_end, okey, 0)
+    (_, e_b_full, e_okey_full, e_sd_full, e_w_full) = jax.lax.sort(
+        (marked, ek, eo, sums[0], sums[1]), num_keys=1)
+    e_total = jnp.sum(live_end).astype(jnp.int32)
+
+    sd_scale = config.sdf_trunc / SD_QUANT
+
+    def with_entry_cap(e_cap: int):
+        def run(args):
+            pool_sd, pool_w = args
+            evalid = jnp.arange(e_cap, dtype=jnp.int32) < e_total
+            e_b = e_b_full[:e_cap]        # INT32_MAX beyond e_total
+            e_okey = e_okey_full[:e_cap]
+            e_sd = e_sd_full[:e_cap] * sd_scale
+            e_w = e_w_full[:e_cap]
+
+            # touched blocks over the entry stream (entries are sorted by
+            # block key: the sorts above are stable on equal keys)
+            bflags = segops.boundary_flags(e_b) & evalid
+            emarked = jnp.where(bflags, jnp.arange(e_cap, dtype=jnp.int32),
+                                jnp.int32(e_cap))
+            bpos = jax.lax.sort((emarked,), num_keys=1)[0]
+            t_total = jnp.sum(bflags).astype(jnp.int32)
+            t_count = jnp.minimum(t_total, t_cap)
+            touched_overflow = jnp.maximum(t_total - t_cap, 0)
+            starts = bpos[:t_cap]
+            tvalid = jnp.arange(t_cap, dtype=jnp.int32) < t_count
+            starts_c = jnp.minimum(starts, e_cap - 1)
+            tb_keys = jnp.where(tvalid, e_b[starts_c], INT32_MAX)
+
+            (dir_keys, dir_slots, n_blocks, tb_slots, n_new,
+             block_overflow) = _directory_update(state, tb_keys, tvalid,
+                                                 config)
+
+            # per-entry pool slot: scatter each touched block's slot to its
+            # first entry, then a segmented forward carry — no big gather
+            slot_at = jnp.full((e_cap,), reserved_row, jnp.int32)
+            starts_put = jnp.where(tvalid, starts, jnp.int32(e_cap))
+            slot_at = slot_at.at[starts_put].set(tb_slots, mode="drop")
+            e_slot = segops.segment_broadcast_first(bflags, slot_at)
+
+            ok = evalid & (e_slot != reserved_row) & (e_b != INT32_MAX)
+            idx = jnp.where(ok, e_slot * 512 + e_okey, cb * 512)
+            new_sd = pool_sd.reshape(-1).at[idx].add(
+                jnp.where(ok, e_sd, 0.0), mode="drop").reshape(pool_sd.shape)
+            new_w = pool_w.reshape(-1).at[idx].add(
+                jnp.where(ok, e_w, 0.0), mode="drop").reshape(pool_w.shape)
+            return (new_sd, new_w, dir_keys, dir_slots, n_blocks, t_count,
+                    n_new, block_overflow, touched_overflow)
+        return run
+
+    buckets = sorted({max(1024, s // 4), max(1024, 3 * s // 8),
+                      max(1024, s // 2), s})
+    branch = len(buckets) - 1 - sum(e_total <= b for b in buckets[:-1])
+    (pool_sd, pool_w, dir_keys, dir_slots, n_blocks, t_count, n_new,
+     block_overflow, touched_overflow) = jax.lax.switch(
+        branch, [with_entry_cap(b) for b in buckets],
+        (state.pool_sd, state.pool_w))
+
+    new_state = ActiveMapState(
+        dir_keys=dir_keys, dir_slots=dir_slots, n_blocks=n_blocks,
+        pool_sd=pool_sd, pool_w=pool_w, origin_blocks=state.origin_blocks,
+        point_overflow=state.point_overflow + batch.pt_overflow,
+        sample_overflow=state.sample_overflow + batch.samp_overflow,
+        block_overflow=state.block_overflow + block_overflow,
+        touched_overflow=state.touched_overflow + touched_overflow,
+        tile_overflow=state.tile_overflow,
+    )
+    metrics = {
+        "n_valid_samples": n_valid_samples,
+        "n_touched_blocks": t_count,
+        "n_new_blocks": n_new,
+        "n_blocks": n_blocks,
+    }
+    return new_state, metrics
 
 
 def insert_step_tiled(state: ActiveMapState, points, n_points, position,

@@ -91,12 +91,18 @@ class TSDFMap:
         self.config = config
         self.levels = dag.NodeLevels()
         self.submaps: list[submap_mod.Submap] = []
+        self._pending: list[submap_mod.PendingSubmap] = []
         self.state = None
         self._positions: list[np.ndarray] = []
         self._active_snapshot: submap_mod.Submap | None = None
         self.last_metrics: dict = {}
 
     # ------------------------------------------------------------------
+    @property
+    def n_submaps(self) -> int:
+        """Finalized submaps, including rotations still materializing."""
+        return len(self.submaps) + len(self._pending)
+
     @property
     def sdf_res(self) -> float:
         return self.config.sdf_res
@@ -234,10 +240,34 @@ class TSDFMap:
         return a
 
     def _finalize_active(self) -> None:
-        sm = submap_mod.finalize(self.state, self.levels, self.config,
-                                 self._positions)
-        sm.anchor = self._anchor_from(self._positions)
-        self.submaps.append(sm)
+        """Deferred rotation: one combined scalar readback + async device->
+        host copy now (submap_mod.start_finalize), DAG materialization
+        later (:meth:`_drain_pending`) — a synchronous finalize stalls the
+        stream 1-2 s on the remote-TPU link."""
+        p = submap_mod.start_finalize(
+            self.state, self.config, self._positions,
+            anchor=self._anchor_from(self._positions))
+        self._pending.append(p)
+        # bound device memory held by in-flight buffers; the oldest
+        # transfer has had the longest to stream, so this rarely blocks
+        while len(self._pending) > self.config.max_pending_finalize:
+            self.submaps.append(submap_mod.finish_finalize(
+                self._pending.pop(0), self.levels, self.config))
+
+    def _drain_pending(self) -> None:
+        """Materialize all pending (rotated-out) submaps, in order.
+
+        All device->host copies are started first, so the transfer of
+        submap k+1 overlaps the host DAG build of submap k."""
+        for p in self._pending:
+            if p.buf is not None:
+                try:
+                    p.buf.copy_to_host_async()
+                except Exception:   # pragma: no cover - no async backend
+                    pass
+        while self._pending:
+            self.submaps.append(submap_mod.finish_finalize(
+                self._pending.pop(0), self.levels, self.config))
 
     def finalize_active(self) -> None:
         """Finalize the current active map into a submap immediately — the
@@ -246,6 +276,7 @@ class TSDFMap:
         first-class submap rather than a transient snapshot)."""
         if self.state is not None and int(self.state.n_blocks) > 0:
             self._finalize_active()
+        self._drain_pending()
         self.state = None
         self._positions = []
         self._active_snapshot = None
@@ -258,6 +289,7 @@ class TSDFMap:
         Submap carries it), so repeated save()/extract_mesh() on a live map
         never grows the persistent ``self.levels`` pools or skews their
         uniques/dupes compression counters."""
+        self._drain_pending()
         out = list(self.submaps)
         if self.state is not None and int(self.state.n_blocks) > 0:
             if self._active_snapshot is None:
@@ -479,6 +511,7 @@ class TSDFMap:
             # pose participates; its correction applies via the snapshot
             subs = self._all_submaps()
         else:
+            self._drain_pending()
             subs = list(self.submaps)
         if len(subs) < 2:
             return {"initial_cost": 0.0, "final_cost": 0.0, "iterations": 0}
@@ -500,6 +533,7 @@ class TSDFMap:
 
     def stats(self) -> dict:
         self._warn_overflow()
+        self._drain_pending()
         s = self.levels.stats()
         s["n_submaps"] = len(self.submaps)
         if self.state is not None:

@@ -132,6 +132,30 @@ def _extract_clusters_compact(state: ActiveMapState, n_pad: int, cap: int,
     return jnp.concatenate([keys_u32.reshape(-1), out.reshape(-1)])
 
 
+def _unpack_cluster_buf(buf: np.ndarray, n_pad: int, cap: int, count: int,
+                        origin: np.ndarray, config: MapConfig):
+    """Host side of cluster extraction: the compacted u32 buffer from
+    :func:`_extract_clusters_compact` -> sorted unique (cluster codes u64,
+    tsdf words u64, weight words u64, n_voxels)."""
+    keys = buf[:n_pad].astype(np.int32)
+    body = buf[n_pad:].reshape(5, cap)[:, :count]
+    ids = body[0].astype(np.int64)
+    blk = (ids >> 6).astype(np.int64)
+    cidx = (ids & 63).astype(np.uint64)
+
+    # world 54-bit block codes -> 60-bit cluster codes
+    wb = morton.np_block_key_to_world63(keys[blk], origin, config.block_bits)
+    codes = (wb << np.uint64(6)) | cidx
+    words_t = body[1].astype(np.uint64) | (body[2].astype(np.uint64) << 32)
+    words_w = body[3].astype(np.uint64) | (body[4].astype(np.uint64) << 32)
+    shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64))[None, :]
+    n_vox = int((((words_t[:, None] >> shifts) & np.uint64(0xFF))
+                 != np.uint64(codec.EMPTY)).sum())
+
+    order = np.argsort(codes, kind="stable")
+    return codes[order], words_t[order], words_w[order], n_vox
+
+
 def extract_clusters(state: ActiveMapState, config: MapConfig):
     """Device quantization + compaction + host unpack: active map ->
     sorted, unique (cluster_codes u64, words_tsdf u64, words_weight u64,
@@ -146,27 +170,11 @@ def extract_clusters(state: ActiveMapState, config: MapConfig):
     if count == 0:
         z = np.zeros(0, np.uint64)
         return z, z.copy(), z.copy(), 0
-    cap = max(64, 1 << (count - 1).bit_length())
+    cap = cap_bucket(count)
     buf = np.asarray(_extract_clusters_compact(state, n_pad, cap,
                                                config.sdf_trunc))
-    keys = buf[:n_pad].astype(np.int32)
-    body = buf[n_pad:].reshape(5, cap)[:, :count]
-    ids = body[0].astype(np.int64)
-    blk = (ids >> 6).astype(np.int64)
-    cidx = (ids & 63).astype(np.uint64)
-
-    # world 54-bit block codes -> 60-bit cluster codes
-    origin = np.asarray(state.origin_blocks)
-    wb = morton.np_block_key_to_world63(keys[blk], origin, config.block_bits)
-    codes = (wb << np.uint64(6)) | cidx
-    words_t = body[1].astype(np.uint64) | (body[2].astype(np.uint64) << 32)
-    words_w = body[3].astype(np.uint64) | (body[4].astype(np.uint64) << 32)
-    shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64))[None, :]
-    n_vox = int((((words_t[:, None] >> shifts) & np.uint64(0xFF))
-                 != np.uint64(codec.EMPTY)).sum())
-
-    order = np.argsort(codes, kind="stable")
-    return codes[order], words_t[order], words_w[order], n_vox
+    return _unpack_cluster_buf(buf, n_pad, cap, count,
+                               np.asarray(state.origin_blocks), config)
 
 
 def build_submap(levels: NodeLevels, codes, words_t, words_w, positions,
@@ -204,6 +212,109 @@ def finalize(state: ActiveMapState, levels: NodeLevels, config: MapConfig,
     warn_on_overflow(state)
     codes, words_t, words_w, n_vox = extract_clusters(state, config)
     return build_submap(levels, codes, words_t, words_w, positions, n_vox)
+
+
+# ---------------------------------------------------------------------------
+# Deferred (stream-friendly) finalization
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PendingSubmap:
+    """A rotated-out active map awaiting host materialization.
+
+    Mid-stream submap rotation must not stall the insert pipeline: the host
+    link moves ~23 MB/s with ~25 ms per round trip, so a synchronous
+    finalize (10-40 MB cluster transfer + host DAG build) costs 1-2 s per
+    rotation — the dominant term of streaming latency (measured, round 4).
+    ``start_finalize`` instead does ONE combined scalar readback, dispatches
+    the device compaction, starts an async host copy and returns this stub;
+    ``finish_finalize`` materializes the DAG later (next save/stats/
+    checkpoint — or when ``MapConfig.max_pending_finalize`` stubs pile up),
+    by which time the bytes have usually already streamed.
+    """
+    buf: object                # device u32 buffer (None for an empty map)
+    n_pad: int
+    cap: int
+    count: int
+    origin_blocks: np.ndarray
+    positions: list
+    anchor: object = None
+
+
+def cap_bucket(n: int) -> int:
+    """Smallest {2^k, 1.5*2^k} >= n: finer than pow2 rounding so the
+    cluster transfer ships <= 33% padding instead of <= 100%."""
+    p = 1 << max(7, (max(n, 1) - 1).bit_length())
+    if 3 * p // 4 >= n:
+        return 3 * p // 4
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("cb",))
+def _rotation_counters(state: ActiveMapState, cb: int):
+    """Everything the host needs at rotation, in ONE transfer:
+    [n_blocks, live clusters, point/sample/block/touched overflow]."""
+    idx = jnp.arange(cb, dtype=jnp.int32)
+    valid = idx < state.n_blocks
+    idx_c = jnp.minimum(idx, jnp.maximum(state.n_blocks - 1, 0))
+    slots = state.dir_slots[idx_c]
+    w = state.pool_w[slots].reshape(cb, 64, 8)
+    ne = jnp.any((w > 0) & valid[:, None, None], -1)
+    count = jnp.sum(ne).astype(jnp.int32)
+    return jnp.stack([state.n_blocks, count, state.point_overflow,
+                      state.sample_overflow, state.block_overflow,
+                      state.touched_overflow])
+
+
+def start_finalize(state: ActiveMapState, config: MapConfig,
+                   positions: list, anchor=None) -> PendingSubmap:
+    """Begin finalizing the active map without blocking the stream."""
+    import warnings
+    vals = np.asarray(_rotation_counters(state, config.block_capacity))
+    n_blocks, count = int(vals[0]), int(vals[1])
+    ovf = {k: int(v) for k, v in zip(
+        ("point_overflow", "sample_overflow", "block_overflow",
+         "touched_overflow"), vals[2:]) if int(v) > 0}
+    if ovf:
+        warnings.warn(
+            f"map capacity overflow — dropped data: {ovf}; raise the "
+            "corresponding MapConfig capacities (block_capacity/"
+            "touched_capacity/max_points) or shrink the scan extent",
+            RuntimeWarning, stacklevel=3)
+    if n_blocks == 0 or count == 0:
+        return PendingSubmap(None, 0, 0, 0,
+                             np.asarray(state.origin_blocks),
+                             list(positions), anchor)
+    n_pad = max(1, 1 << (n_blocks - 1).bit_length())
+    cap = cap_bucket(count)
+    buf = _extract_clusters_compact(state, n_pad, cap, config.sdf_trunc)
+    # NOTE: the host copy is deliberately NOT started here — on a
+    # bandwidth-poor host link (the axon tunnel moves ~23 MB/s) an eager
+    # 6-10 MB device->host copy contends with the next scans' point
+    # uploads and delays every later readback queued behind it.  The
+    # buffer stays on device; TSDFMap._drain_pending() starts all pending
+    # copies together so transfers overlap the per-submap host DAG builds.
+    return PendingSubmap(buf, n_pad, cap, count,
+                         np.asarray(state.origin_blocks),
+                         list(positions), anchor)
+
+
+def finish_finalize(pending: PendingSubmap, levels: NodeLevels,
+                    config: MapConfig) -> Submap:
+    """Materialize a PendingSubmap into the DAG (host)."""
+    if pending.buf is None:
+        sm = build_submap(levels, np.zeros(0, np.uint64),
+                          np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+                          pending.positions, 0)
+    else:
+        buf = np.asarray(pending.buf)
+        codes, words_t, words_w, n_vox = _unpack_cluster_buf(
+            buf, pending.n_pad, pending.cap, pending.count,
+            pending.origin_blocks, config)
+        sm = build_submap(levels, codes, words_t, words_w,
+                          pending.positions, n_vox)
+    sm.anchor = pending.anchor
+    return sm
 
 
 def extract_raw_blocks(state, config: MapConfig):

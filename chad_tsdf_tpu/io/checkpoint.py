@@ -45,6 +45,7 @@ def _active_state(m: TSDFMap):
 
 
 def save_checkpoint(path: str, m: TSDFMap) -> None:
+    m._drain_pending()          # materialize deferred rotations first
     arrays: dict[str, np.ndarray] = {}
     active = _active_state(m)
     meta: dict = {

@@ -16,14 +16,15 @@ This is SURVEY §7 steps 5-6: sharded insert -> rotation -> sharded finalize
 
 from __future__ import annotations
 
+import dataclasses
 import time
 
 import jax
 import numpy as np
 
 from ..config import MapConfig
-from ..core import submap as submap_mod
-from ..core.map import TSDFMap
+from ..core import dag, submap as submap_mod
+from ..core.map import LazyMetrics, TSDFMap
 from ..core.state import origin_blocks_for_position
 from . import sharded
 
@@ -36,12 +37,34 @@ class ShardedTSDFMap(TSDFMap):
         self.mesh = mesh if mesh is not None else sharded.make_mesh(axis=axis)
         self.axis = axis
         self.n_shards = int(self.mesh.devices.size)
-        self._step, self.halo_capacity = sharded.make_sharded_insert(
-            self.config, self.mesh, halo_capacity=halo_capacity, axis=axis)
+        self.halo_capacity = halo_capacity
+        # one compiled step per point bucket, built on first use — streaming
+        # scans pad to the smallest bucket that fits, exactly like the
+        # single-device path (core/map.py insert)
+        self._steps: dict = {}
         self.state_stack = None
+
+    def _step_for(self, bucket: int):
+        step = self._steps.get(bucket)
+        if step is None:
+            cfg = dataclasses.replace(self.config, max_points=bucket,
+                                      point_buckets=())
+            step, cap = sharded.make_sharded_insert(
+                cfg, self.mesh, halo_capacity=self.halo_capacity,
+                axis=self.axis)
+            self.halo_capacity = cap
+            self._steps[bucket] = step
+        return step
 
     # -- the sharded active map replaces the single-device self.state ------
     def insert(self, points, position) -> dict:
+        """Insert one scan across the shard mesh.
+
+        Host-sync discipline matches the single-device path: metrics stay
+        on device (LazyMetrics) and chunks pad to compile-shape buckets, so
+        a streaming loop that ignores the return value issues zero host
+        readbacks per insert.
+        """
         t0 = time.perf_counter()
         points = np.ascontiguousarray(np.asarray(points, np.float32))
         if points.ndim != 2 or points.shape[1] != 3:
@@ -58,21 +81,26 @@ class ShardedTSDFMap(TSDFMap):
         self._active_snapshot = None
 
         cap = self.config.max_points
+        buckets = self.config.buckets
         batch = self.n_shards * cap
         metrics_acc: dict = {}
         for beg in range(0, max(len(points), 1), batch):
             chunk = points[beg:beg + batch]
             shards = sharded.morton_split(chunk, self.n_shards,
                                           self.config.sdf_res)
-            padded = np.zeros((batch, 3), np.float32)
+            per = max(len(c) for c in shards)
+            bucket = next((b for b in buckets if b >= per), cap)
+            padded = np.zeros((self.n_shards * bucket, 3), np.float32)
             n_per = np.zeros((self.n_shards,), np.int32)
             for i, c in enumerate(shards):
-                padded[i * cap:i * cap + len(c)] = c
+                padded[i * bucket:i * bucket + len(c)] = c
                 n_per[i] = len(c)
-            self.state_stack, metrics = self._step(
+            self.state_stack, metrics = self._step_for(bucket)(
                 self.state_stack, padded, n_per, position)
             for k, v in metrics.items():
-                metrics_acc[k] = metrics_acc.get(k, 0) + int(v)
+                metrics_acc[k] = (metrics_acc[k] + v) if k in metrics_acc \
+                    else v
+        metrics_acc = LazyMetrics(metrics_acc)
         if self.config.profile:
             jax.block_until_ready(self.state_stack.pool_sd)
             metrics_acc["wall_ms"] = (time.perf_counter() - t0) * 1e3
@@ -93,6 +121,7 @@ class ShardedTSDFMap(TSDFMap):
         sm = submap_mod.finalize_sharded(
             sharded.gather_states(self.state_stack), self.levels,
             self.config, self._positions)
+        sm.anchor = self._anchor_from(self._positions)
         self.submaps.append(sm)
 
     def _all_submaps(self):
@@ -100,9 +129,13 @@ class ShardedTSDFMap(TSDFMap):
         if self.state_stack is not None and \
                 int(self.state_stack.n_blocks.sum()) > 0:
             if self._active_snapshot is None:
-                self._active_snapshot = submap_mod.finalize_sharded(
-                    sharded.gather_states(self.state_stack), self.levels,
+                scratch = dag.NodeLevels()
+                sm = submap_mod.finalize_sharded(
+                    sharded.gather_states(self.state_stack), scratch,
                     self.config, self._positions)
+                sm.levels = scratch
+                sm.anchor = self._anchor_from(self._positions)
+                self._active_snapshot = sm
             out.append(self._active_snapshot)
         return out
 

@@ -13,7 +13,7 @@ from chad_tsdf_tpu.config import MapConfig
 from chad_tsdf_tpu.core.map import TSDFMap
 from chad_tsdf_tpu.io.kitti import synthetic_lidar_scan
 
-config = MapConfig(block_capacity=1 << 17, touched_capacity=1 << 16)
+config = MapConfig(block_capacity=1 << 17, touched_capacity=1 << 15)
 m = TSDFMap(config=config)
 scans = [(synthetic_lidar_scan([1.5 * i, 0.0, 0.0], seed=i),
           np.float32([1.5 * i, 0.0, 1.7])) for i in range(12)]

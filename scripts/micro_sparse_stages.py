@@ -19,7 +19,7 @@ from chad_tsdf_tpu.io.kitti import synthetic_lidar_scan
 from chad_tsdf_tpu.ops import tile_accum
 
 config = dataclasses.replace(
-    MapConfig(block_capacity=1 << 17, touched_capacity=1 << 16),
+    MapConfig(block_capacity=1 << 17, touched_capacity=1 << 15),
     accumulate_impl="sample_tile")
 bucket = 131072
 

@@ -20,7 +20,7 @@ def sphere_points(n, r=1.0, seed=0):
 def test_roundtrip_active_and_finalized(tmp_path):
     m = TSDFMap(config=MapConfig(**SMALL))
     m.insert(sphere_points(2048), np.zeros(3))
-    m._finalize_active()
+    m.finalize_active()
     m._start_submap(np.array([6.0, 0, 0], np.float32))
     m.insert(sphere_points(1024, seed=1) + np.array([6, 0, 0], np.float32),
              np.array([6.0, 0, 0]))
@@ -53,7 +53,7 @@ def test_resume_continues_dedup(tmp_path):
     m = TSDFMap(config=MapConfig(**SMALL))
     pts = sphere_points(1024, seed=2)
     m.insert(pts, np.zeros(3))
-    m._finalize_active()
+    m.finalize_active()
     p = str(tmp_path / "c.npz")
     save_checkpoint(p, m)
 
@@ -61,7 +61,7 @@ def test_resume_continues_dedup(tmp_path):
     u_before = [lv.uniques_n for lv in m2.levels.nodes]
     m2._start_submap(np.zeros(3, np.float32))
     m2.insert(pts, np.zeros(3))
-    m2._finalize_active()
+    m2.finalize_active()
     assert [lv.uniques_n for lv in m2.levels.nodes] == u_before
     assert m2.submaps[0].root_addr_tsdf == m2.submaps[1].root_addr_tsdf
 
@@ -120,11 +120,11 @@ def test_counters_roundtrip_and_compact_pool(tmp_path):
     cfg = MapConfig(**SMALL)
     m = TSDFMap(config=cfg)
     m.insert(sphere_points(2048), np.zeros(3))
-    m._finalize_active()
+    m.finalize_active()
     # force dupes: identical geometry again in a fresh submap
     m._start_submap(np.zeros(3, np.float32))
     m.insert(sphere_points(2048), np.zeros(3))
-    m._finalize_active()
+    m.finalize_active()
     m._start_submap(np.zeros(3, np.float32))
     m.insert(sphere_points(512, seed=3), np.zeros(3))
 

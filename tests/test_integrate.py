@@ -314,3 +314,69 @@ def test_group_tables_bounded_by_live_members():
             (g, int(gstart[g]), int(glen[g]))
     # group members must cover exactly the live prefix
     assert sum(int(glen[g]) for g in range(int(ng[0]))) == n_live
+
+
+def test_seg_impl_matches_xla():
+    """Differential: the sparse 'seg' path (voxel-sorted segment reduction
+    + compacted scatter) must reproduce the XLA scatter oracle — identical
+    directory, block count, exact weights; sd within the reassociation
+    rounding of pre-summed segments (far below codec granularity)."""
+    import dataclasses
+
+    from chad_tsdf_tpu.io.kitti import synthetic_lidar_scan
+
+    cfg_x = dataclasses.replace(CFG, accumulate_impl="xla",
+                                block_capacity=1 << 14,
+                                touched_capacity=1 << 13)
+    cfg_s = dataclasses.replace(cfg_x, accumulate_impl="seg")
+
+    lidar = synthetic_lidar_scan([0.0, 0.0, 0.0], seed=3)
+    lidar = lidar[:: max(1, len(lidar) // 4096)][:4096]
+    cases = [
+        (sphere_points(4096), np.zeros(3, np.float32)),        # dense
+        (lidar.astype(np.float32), np.float32([0, 0, 1.7])),   # sparse
+    ]
+    for pts, pos in cases:
+        st_x = m_x = st_s = m_s = None
+        for it in range(2):                 # fresh + steady-state insert
+            st_x, m_x = run_insert(cfg_x, pts, pos, state=st_x)
+            st_s, m_s = run_insert(cfg_s, pts, pos, state=st_s)
+        assert int(st_x.n_blocks) == int(st_s.n_blocks)
+        np.testing.assert_array_equal(np.asarray(st_x.dir_keys),
+                                      np.asarray(st_s.dir_keys))
+        np.testing.assert_array_equal(np.asarray(st_x.dir_slots),
+                                      np.asarray(st_s.dir_slots))
+        np.testing.assert_array_equal(np.asarray(st_x.pool_w),
+                                      np.asarray(st_s.pool_w))
+        np.testing.assert_allclose(np.asarray(st_x.pool_sd),
+                                   np.asarray(st_s.pool_sd),
+                                   rtol=0, atol=1e-5)
+        for k in ("n_valid_samples", "n_touched_blocks", "n_blocks"):
+            assert int(m_x[k]) == int(m_s[k]), k
+        assert int(st_x.tile_overflow) == 0 and int(st_s.tile_overflow) == 0
+
+
+def test_seg_impl_entry_bucket_branches():
+    """The seg path's entry-bucket lax.switch must be exact in every
+    branch: tiny clouds (S/4 bucket) and a pathological all-unique cloud
+    that forces the full-S bucket both match the oracle."""
+    import dataclasses
+
+    cfg_x = dataclasses.replace(CFG, accumulate_impl="xla",
+                                block_capacity=1 << 14,
+                                touched_capacity=1 << 13)
+    cfg_s = dataclasses.replace(cfg_x, accumulate_impl="seg")
+    rng = np.random.default_rng(11)
+    # widely scattered points: nearly every DDA sample lands in its own
+    # voxel, pushing e_total toward S
+    pts = rng.uniform(-100, 100, (4096, 3)).astype(np.float32)
+    tiny = sphere_points(64, r=1.0)
+    for pts_i in (tiny, pts):
+        st_x, _ = run_insert(cfg_x, pts_i, np.zeros(3, np.float32))
+        st_s, _ = run_insert(cfg_s, pts_i, np.zeros(3, np.float32))
+        assert int(st_x.n_blocks) == int(st_s.n_blocks)
+        np.testing.assert_array_equal(np.asarray(st_x.pool_w),
+                                      np.asarray(st_s.pool_w))
+        np.testing.assert_allclose(np.asarray(st_x.pool_sd),
+                                   np.asarray(st_s.pool_sd),
+                                   rtol=0, atol=1e-5)

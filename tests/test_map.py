@@ -64,7 +64,7 @@ def test_submap_rotation():
     assert len(m.submaps) == 0
     # move beyond the 5 m rotation distance (tsdf.cpp:52)
     m.insert(sphere_points(512, centre=(6, 0, 0)), np.array([6.0, 0, 0]))
-    assert len(m.submaps) == 1
+    assert m.n_submaps == 1        # rotation may still be materializing
     assert int(m.state.n_blocks) > 0          # fresh active map
     # both submaps' content reachable for meshing
     codes, sd = m.voxel_samples()
@@ -87,11 +87,11 @@ def test_dedup_across_identical_submaps():
     m = TSDFMap(config=cfg)
     pts = sphere_points(1024)
     m.insert(pts, np.zeros(3))
-    m._finalize_active()
+    m.finalize_active()
     u_first = [lv.uniques_n for lv in m.levels.nodes]
     m._start_submap(np.zeros(3, np.float32))
     m.insert(pts, np.zeros(3))
-    m._finalize_active()
+    m.finalize_active()
     u_second = [lv.uniques_n for lv in m.levels.nodes]
     # identical content: no new unique nodes anywhere
     assert u_first == u_second

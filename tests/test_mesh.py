@@ -279,3 +279,28 @@ def test_planar_optimize_leaves_sphere_alone():
     opt = optimize_planar_faces(mesh, 5)
     disp = np.linalg.norm(opt.vertices - mesh.vertices, axis=1)
     assert float(disp.max()) < 1e-6
+
+
+def test_reference_mesh_rmse():
+    """BASELINE target 2: vertex RMSE vs the C++ reference's mesh.
+
+    Auto-upgrading: skips until the out-of-band artifact
+    tests/golden/reference_sphere.ply exists (produced by building the
+    reference on a networked host — protocol in tools/compare_reference.py),
+    then enforces the RMSE criterion."""
+    import os
+
+    import pytest
+
+    ref_ply = os.path.join(os.path.dirname(__file__), "golden",
+                           "reference_sphere.ply")
+    if not os.path.exists(ref_ply):
+        pytest.skip("reference mesh artifact not present; see "
+                    "tools/compare_reference.py for the protocol")
+    from chad_tsdf_tpu.mesh import read_ply
+    from chad_tsdf_tpu.mesh.rmse import vertex_rmse
+
+    codes, sd = _sphere_samples(5.0, 0.05)
+    mesh = marching_cubes(codes, sd, 0.05)
+    stats = vertex_rmse(mesh.vertices, read_ply(ref_ply).vertices)
+    assert stats["rmse"] < 0.1 / 127 + 0.5 * 0.05

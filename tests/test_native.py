@@ -86,7 +86,7 @@ def test_full_map_with_native_levels():
     d = rng.normal(size=(1024, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     m.insert((d * 1.0).astype(np.float32), np.zeros(3))
-    m._finalize_active()
+    m.finalize_active()
     codes, sd = m.voxel_samples()
     assert codes.shape[0] > 500
 
@@ -94,5 +94,5 @@ def test_full_map_with_native_levels():
     u = [lv.uniques_n for lv in m.levels.nodes]
     m._start_submap(np.zeros(3, np.float32))
     m.insert((d * 1.0).astype(np.float32), np.zeros(3))
-    m._finalize_active()
+    m.finalize_active()
     assert [lv.uniques_n for lv in m.levels.nodes] == u

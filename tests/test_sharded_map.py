@@ -82,3 +82,24 @@ def test_sharded_map_rotation_and_save(tmp_path):
     near1 = np.abs(d1 - 1.5) < 3 * CFG.sdf_res
     assert near0.sum() > 50 and near1.sum() > 50
     assert (near0 | near1).all()
+
+
+@needs_mesh
+def test_sharded_insert_is_sync_free_and_bucketed():
+    """Streaming parity with the single-device path: metric values stay on
+    device until first read (no per-insert host sync), and small scans
+    compile against the smallest point bucket that fits, not max_points."""
+    cfg = MapConfig(max_points=1 << 15, block_capacity=4096,
+                    touched_capacity=2048, accumulate_impl="xla")
+    smap = ShardedTSDFMap(config=cfg, mesh=make_mesh(8))
+    m = smap.insert(sphere_points(4096), np.zeros(3, np.float32))
+    # bypass LazyMetrics' converting __getitem__: the stored value must be
+    # a device array, proving insert() itself did no readback
+    raw = dict.__getitem__(m, "n_blocks")
+    assert not isinstance(raw, (int, float)), type(raw)
+    # a 4096-point scan split over 8 shards (~512 each) must use the
+    # smallest bucket, keeping the compile shape ~64x under max_points
+    assert list(smap._steps) == [min(cfg.buckets)]
+    assert min(cfg.buckets) < cfg.max_points
+    # reading a metric materializes it
+    assert m["n_blocks"] > 0
