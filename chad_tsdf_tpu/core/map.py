@@ -425,11 +425,13 @@ class TSDFMap:
         grid_io.write_grid(filename, codes, sd, self.config.sdf_res)
 
     # ------------------------------------------------------------------
-    def leaf_items(self, submap: submap_mod.Submap | None = None):
-        """Iterate (world voxel coord (3,) int32, signed distance, weight)
-        — the leaf-iterator API the reference sketches but never builds
-        (tsdf.hpp:120-155)."""
+    def leaf_arrays(self, submap: submap_mod.Submap | None = None):
+        """Vectorized leaf export: (world voxel coords (N, 3) int32,
+        signed distances (N,) f32, weights (N,) uint8) over the selected
+        submaps — the bulk form of :meth:`leaf_items`, usable at map scale
+        (no per-voxel Python)."""
         submaps = [submap] if submap is not None else self._all_submaps()
+        coords_l, sd_l, w_l = [], [], []
         for sm in submaps:
             levels = self._sm_levels(sm)
             ccodes, words_t = levels.walk_leaf_clusters(sm.root_addr_tsdf)
@@ -439,21 +441,44 @@ class TSDFMap:
             present = lt != codec.EMPTY
             vox_codes = (ccodes[:, None] << np.uint64(3)) | \
                 np.arange(8, dtype=np.uint64)[None, :]
-            coords = morton.np_decode63(vox_codes[present])
-            sds = codec.decode_sd(np, lt, self.config.sdf_trunc)[present]
-            ws = lw[present]
-            for i in range(coords.shape[0]):
-                yield coords[i], float(sds[i]), int(ws[i])
+            coords_l.append(morton.np_decode63(vox_codes[present]))
+            sd_l.append(codec.decode_sd(np, lt,
+                                        self.config.sdf_trunc)[present])
+            w_l.append(lw[present])
+        if not coords_l:
+            return (np.zeros((0, 3), np.int32), np.zeros(0, np.float32),
+                    np.zeros(0, np.uint8))
+        return (np.concatenate(coords_l), np.concatenate(sd_l),
+                np.concatenate(w_l))
+
+    def leaf_items(self, submap: submap_mod.Submap | None = None):
+        """Iterate (world voxel coord (3,) int32, signed distance, weight)
+        — the leaf-iterator API the reference sketches but never builds
+        (tsdf.hpp:120-155).  For bulk access use :meth:`leaf_arrays`."""
+        coords, sds, ws = self.leaf_arrays(submap)
+        for i in range(coords.shape[0]):
+            yield coords[i], float(sds[i]), int(ws[i])
+
+    def _sorted_samples(self):
+        """Code-sorted (codes, sd) for point queries, cached across calls
+        (insert/rotation invalidates via ``_active_snapshot = None``)."""
+        cache = getattr(self, "_query_cache", None)
+        key = (len(self.submaps), len(self._pending),
+               self._active_snapshot is not None)
+        if cache is not None and cache[0] == key:
+            return cache[1], cache[2]
+        codes, sd = self.voxel_samples()        # already code-sorted/unique
+        self._query_cache = (key, codes, sd)
+        return codes, sd
 
     def raycast(self, origin, direction, max_dist: float = 100.0):
         """March a ray through the map; returns the first zero-crossing hit
         position or None — the reference's declared-but-unbuilt raycast
-        (tsdf.hpp:158-161)."""
-        codes, sd = self.voxel_samples()
+        (tsdf.hpp:158-161).  The sorted query index is cached, so repeated
+        raycasts on an unchanged map cost one searchsorted each."""
+        codes, sd = self._sorted_samples()
         if codes.shape[0] == 0:
             return None
-        order = np.argsort(codes)
-        codes, sd = codes[order], sd[order]
         origin = np.asarray(origin, np.float64)
         direction = np.asarray(direction, np.float64)
         direction = direction / np.linalg.norm(direction)
@@ -529,6 +554,7 @@ class TSDFMap:
             corr = p.astype(np.float64) @ np.linalg.inv(a)
             sm.corrected = None if np.allclose(corr, np.eye(4), atol=1e-7) \
                 else corr
+        self._query_cache = None       # re-anchoring moves voxels
         return stats
 
     def stats(self) -> dict:

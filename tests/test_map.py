@@ -180,3 +180,32 @@ def test_live_snapshot_does_not_pollute_persistent_dag():
         assert mesh.n_vertices > 0
         m._active_snapshot = None          # force a fresh snapshot each time
     assert m.levels.stats() == stats0
+
+
+def test_leaf_arrays_bulk_matches_iterator():
+    m = TSDFMap(config=MapConfig(**SMALL))
+    m.insert(sphere_points(1024, r=1.0), np.zeros(3))
+    coords, sds, ws = m.leaf_arrays()
+    assert coords.shape[0] > 100
+    it = list(m.leaf_items())
+    assert len(it) == coords.shape[0]
+    np.testing.assert_array_equal(it[0][0], coords[0])
+    assert it[0][1] == float(sds[0]) and it[0][2] == int(ws[0])
+
+
+def test_raycast_cache_invalidation():
+    m = TSDFMap(config=MapConfig(**SMALL))
+    pts1 = sphere_points(4096, r=1.0)
+    m.insert(pts1, np.zeros(3))
+    d1 = pts1[0] / np.linalg.norm(pts1[0])
+    h1 = m.raycast(np.zeros(3), d1)
+    assert h1 is not None and abs(np.linalg.norm(h1) - 1.0) < 0.1
+    # cached second call returns the same hit
+    h2 = m.raycast(np.zeros(3), d1)
+    np.testing.assert_allclose(h1, h2)
+    # new data (an inner sphere) must invalidate the cached query index
+    pts2 = sphere_points(4096, r=0.5, seed=3)
+    m.insert(pts2, np.zeros(3))
+    d2 = pts2[0] / np.linalg.norm(pts2[0])
+    h3 = m.raycast(np.zeros(3), d2)
+    assert h3 is not None and abs(np.linalg.norm(h3) - 0.5) < 0.1
