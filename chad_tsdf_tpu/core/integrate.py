@@ -407,55 +407,86 @@ def update_pool_tiled(state: ActiveMapState, pkeys, psd, pw, tile_ovf,
 
     # sort by slot so each 8-row pool group sees a contiguous partial range
     slot_s, src = jax.lax.sort((slot_per_partial, order), num_keys=1)
+    n_live = jnp.sum(slot_s != reserved_row).astype(jnp.int32)
+
+    # live rows are a PREFIX of the slot-sorted stream (dead entries carry
+    # the reserved slot, the maximum), so the expensive per-row stages —
+    # the (rows, 512) gather x2 and the merge windows — run on the smallest
+    # row bucket that holds the live count, not on the tiles*nb worst case
+    # (typical dense insert: ~15k live of 49k rows)
+    mc = tile_accum.MERGE_CHUNK
+    row_buckets = sorted({max(4 * mc, -(-(p // 2) // mc) * mc),
+                          -(-max(p, mc) // mc) * mc})
+    rbranch = len(row_buckets) - 1 - sum(
+        n_live <= b for b in row_buckets[:-1])
 
     if interpret:
         # CPU / test path: a plain deterministic scatter-add (duplicate-slot
         # sums are sequential on CPU and TPU).  The Pallas merge kernel's
         # grid would be unrolled at trace time in interpret mode — O(t_cap)
         # compile blowup for zero fidelity gain (the kernel itself is
-        # differentially tested in tests/test_tile_accum.py).
-        src_c = jnp.clip(src, 0, p - 1)
-        ok = (slot_s != reserved_row)[:, None]
-        pool_sd = state.pool_sd.at[slot_s].add(jnp.where(ok, psd[src_c], 0.0))
-        pool_w = state.pool_w.at[slot_s].add(jnp.where(ok, pw[src_c], 0.0))
-        # the reserved row collects masked zeros only; keep it clean anyway
-        pool_sd = pool_sd.at[reserved_row].set(0.0)
-        pool_w = pool_w.at[reserved_row].set(0.0)
-    else:
-        # pad gathered rows to a MERGE_CHUNK multiple for aligned DMA windows
-        p_pad = -(-max(p, tile_accum.MERGE_CHUNK) //
-                  tile_accum.MERGE_CHUNK) * tile_accum.MERGE_CHUNK
-        pad = p_pad - p
-        src_c = jnp.clip(src, 0, p - 1)
-        gsd = jnp.pad(psd[src_c], ((0, pad), (0, 0)))
-        gw = jnp.pad(pw[src_c], ((0, pad), (0, 0)))
-        slot_s = jnp.pad(slot_s, (0, pad), constant_values=reserved_row)
-
-        n_live = jnp.sum(slot_s != reserved_row).astype(jnp.int32)
-        ng, gstart, glen, grow, prow = tile_accum.plan_merge(
-            slot_s, n_live, cb, t_cap)
-
-        # dispatch on the LIVE group count: the merge grid is static, and a
-        # typical insert touches ~n_blocks/8 groups (a few hundred) — padding
-        # the grid to touched_capacity costs ~0.2 us per dead step, several
-        # ms per insert at defaults.  lax.cond picks the smallest compiled
-        # grid that fits (dead entries map to the reserved tail group, so a
-        # sliced prefix of the plan tables is itself a valid plan).
-        def merge_with(g_cap_b):
+        # differentially tested in tests/test_tile_accum.py).  The row
+        # bucketing is exercised here too so CPU tests cover the slicing.
+        def scatter_with(r_cap: int):
             def run(args):
-                pool_sd, pool_w, gsd, gw = args
-                return tile_accum.merge_partials(
-                    pool_sd, pool_w, ng, gstart[:g_cap_b], glen[:g_cap_b],
-                    grow[:g_cap_b], prow, gsd, gw, interpret=False)
+                pool_sd, pool_w = args
+                r = min(r_cap, p)
+                sl = slot_s[:r]
+                src_c = jnp.clip(src[:r], 0, p - 1)
+                ok = (sl != reserved_row)[:, None]
+                pool_sd = pool_sd.at[sl].add(
+                    jnp.where(ok, psd[src_c], 0.0))
+                pool_w = pool_w.at[sl].add(jnp.where(ok, pw[src_c], 0.0))
+                # the reserved row collects masked zeros only; keep it clean
+                pool_sd = pool_sd.at[reserved_row].set(0.0)
+                pool_w = pool_w.at[reserved_row].set(0.0)
+                return pool_sd, pool_w
             return run
 
-        buckets = sorted({min(t_cap, max(256, t_cap // 16)),
-                          min(t_cap, max(256, t_cap // 4)), t_cap})
-        args = (state.pool_sd, state.pool_w, gsd, gw)
-        branch = len(buckets) - 1 - sum(
-            ng[0] <= b for b in buckets[:-1])
         pool_sd, pool_w = jax.lax.switch(
-            branch, [merge_with(b) for b in buckets], args)
+            rbranch, [scatter_with(b) for b in row_buckets],
+            (state.pool_sd, state.pool_w))
+    else:
+        def merge_rows_with(r_cap: int):
+            def run(args):
+                pool_sd, pool_w = args
+                r = min(r_cap, p)
+                pad = r_cap - r
+                src_c = jnp.clip(src[:r], 0, p - 1)
+                gsd = jnp.pad(psd[src_c], ((0, pad), (0, 0)))
+                gw = jnp.pad(pw[src_c], ((0, pad), (0, 0)))
+                sl = jnp.pad(slot_s[:r], (0, pad),
+                             constant_values=reserved_row)
+                nl = jnp.minimum(n_live, r)
+                ng, gstart, glen, grow, prow = tile_accum.plan_merge(
+                    sl, nl, cb, t_cap)
+
+                # dispatch on the LIVE group count: the merge grid is
+                # static and a typical insert touches ~n_blocks/8 groups —
+                # padding the grid to touched_capacity costs ~0.2 us per
+                # dead step, several ms per insert at defaults (sliced
+                # prefixes of the plan tables are themselves valid plans)
+                def merge_with(g_cap_b):
+                    def run2(args2):
+                        pool_sd, pool_w, gsd, gw = args2
+                        return tile_accum.merge_partials(
+                            pool_sd, pool_w, ng, gstart[:g_cap_b],
+                            glen[:g_cap_b], grow[:g_cap_b], prow, gsd, gw,
+                            interpret=False)
+                    return run2
+
+                buckets = sorted({min(t_cap, max(256, t_cap // 16)),
+                                  min(t_cap, max(256, t_cap // 4)), t_cap})
+                branch = len(buckets) - 1 - sum(
+                    ng[0] <= b for b in buckets[:-1])
+                return jax.lax.switch(branch,
+                                      [merge_with(b) for b in buckets],
+                                      (pool_sd, pool_w, gsd, gw))
+            return run
+
+        pool_sd, pool_w = jax.lax.switch(
+            rbranch, [merge_rows_with(b) for b in row_buckets],
+            (state.pool_sd, state.pool_w))
 
     new_state = ActiveMapState(
         dir_keys=dir_keys, dir_slots=dir_slots, n_blocks=n_blocks,
