@@ -23,6 +23,14 @@ merges, plus a per-tile counter row [n_valid, n_not_covered, n_samp_ovf].
 Samples beyond a tile's ``nb`` distinct blocks are NOT accumulated here;
 the caller re-derives them (rare path, under lax.cond) via the legacy
 sample-grid pipeline and routes them through the sort-based update.
+
+Recorded real-TPU caveat (tools/TPU_EQUALITY.json, round 4): Mosaic and
+XLA may round a ray's truncation-band-EDGE boundary differently (the
+``floor((p + d*trunc) * res_recip)`` endpoint), so against the XLA oracle
+the fused path can disagree on a ray's last voxel — measured ONE voxel in
+1.97M on the canonical sphere (2 samples of 15M, both at sd = +trunc
+exactly, bit-stable across runs).  Interpret mode is bit-equal; the
+equality tool gates on exactly this structure.
 """
 
 from __future__ import annotations
