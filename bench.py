@@ -133,7 +133,12 @@ def _kitti_shaped_stream(n_scans: int = 12):
     # a touched capacity sized to one scan's block set, and the density
     # dispatch picks the sparse 'seg' backend (segment reduction + compacted
     # scatter — no tiles, tile_overflow stays 0 by construction)
-    config = MapConfig(block_capacity=1 << 17, touched_capacity=1 << 15)
+    # packed_ingest halves the per-scan host->device bytes — the bench
+    # link moves ~16-23 MB/s, so a 1.5 MB f32 upload alone costs 65-100 ms
+    # per scan against ~31 ms of insert compute (MapConfig docstring;
+    # 3.1 mm quantization, an order below LiDAR range noise)
+    config = MapConfig(block_capacity=1 << 17, touched_capacity=1 << 15,
+                       packed_ingest=True)
     scans = [(synthetic_lidar_scan([1.5 * i, 0.0, 0.0], seed=i),
               np.float32([1.5 * i, 0.0, 1.7])) for i in range(n_scans)]
 

@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import MapConfig
 from ..ops import accumulate, dda, morton, normals, segops, tile_accum
@@ -475,8 +476,15 @@ def update_pool_tiled(state: ActiveMapState, pkeys, psd, pw, tile_ovf,
                             interpret=False)
                     return run2
 
-                buckets = sorted({min(t_cap, max(256, t_cap // 16)),
-                                  min(t_cap, max(256, t_cap // 4)), t_cap})
+                # distinct 8-row pool groups can never exceed cb/8, so the
+                # grid (and the kernel's three prefetched SMEM plan
+                # tables) clamps there — a merge_cfg with an inflated
+                # touched_capacity (the sharded path's halo headroom,
+                # parallel/sharded.py merge_cap) would otherwise blow the
+                # ~1 MiB SMEM budget at compile time
+                gmax = min(t_cap, cb // 8)
+                buckets = sorted({min(gmax, max(256, t_cap // 16)),
+                                  min(gmax, max(256, t_cap // 4)), gmax})
                 branch = len(buckets) - 1 - sum(
                     ng[0] <= b for b in buckets[:-1])
                 return jax.lax.switch(branch,
@@ -505,6 +513,32 @@ def update_pool_tiled(state: ActiveMapState, pkeys, psd, pw, tile_ovf,
         "n_blocks": n_blocks,
     }
     return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
+def insert_step_packed(state: ActiveMapState, qpoints: jnp.ndarray,
+                       n_points: jnp.ndarray, position: jnp.ndarray,
+                       config: MapConfig):
+    """Packed-ingest insert (MapConfig.packed_ingest): ``qpoints`` is
+    i16[N, 3] scanner-relative fixed-point with step ``sdf_res/8`` —
+    world points = q * step + position, dequantized on device.  Halves the
+    host->device transfer per scan, which bounds streaming throughput on
+    link-limited deployments (measured: a 131k-point f32 scan costs
+    ~100 ms of upload on the bench link vs ~31 ms of insert compute)."""
+    step = jnp.float32(config.sdf_res / 8.0)
+    pts = qpoints.astype(jnp.float32) * step + position[None, :]
+    return insert_step_impl(state, pts, n_points, position, config)
+
+
+def pack_points(points: np.ndarray, position: np.ndarray,
+                sdf_res: float) -> np.ndarray:
+    """Host-side packing for :func:`insert_step_packed` (numpy, exact
+    round-half-even; points beyond +-204.8 m of the scanner clamp — they
+    are outside the local map extent anyway)."""
+    step = sdf_res / 8.0
+    q = np.rint((points.astype(np.float64) -
+                 np.asarray(position, np.float64)) / step)
+    return np.clip(q, -32767, 32767).astype(np.int16)
 
 
 @functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))

@@ -148,8 +148,13 @@ class TSDFMap:
                 chunk = np.concatenate(
                     [chunk, np.zeros((bucket - n, 3), np.float32)])
             cfg = self._dispatch_config(points[beg:beg + cap])
-            self.state, metrics = integrate.insert_step(
-                self.state, chunk, np.int32(n), position, cfg)
+            if self.config.packed_ingest:
+                q = integrate.pack_points(chunk, position, cfg.sdf_res)
+                self.state, metrics = integrate.insert_step_packed(
+                    self.state, q, np.int32(n), position, cfg)
+            else:
+                self.state, metrics = integrate.insert_step(
+                    self.state, chunk, np.int32(n), position, cfg)
             # accumulate on device: no host readback on the insert path
             # (LazyMetrics docstring — a sync here stalls the stream)
             for k, v in metrics.items():

@@ -44,16 +44,17 @@ class ShardedTSDFMap(TSDFMap):
         self._steps: dict = {}
         self.state_stack = None
 
-    def _step_for(self, bucket: int):
-        step = self._steps.get(bucket)
+    def _step_for(self, bucket: int, impl: str):
+        step = self._steps.get((bucket, impl))
         if step is None:
             cfg = dataclasses.replace(self.config, max_points=bucket,
-                                      point_buckets=())
+                                      point_buckets=(),
+                                      accumulate_impl=impl)
             step, cap = sharded.make_sharded_insert(
                 cfg, self.mesh, halo_capacity=self.halo_capacity,
                 axis=self.axis)
             self.halo_capacity = cap
-            self._steps[bucket] = step
+            self._steps[(bucket, impl)] = step
         return step
 
     # -- the sharded active map replaces the single-device self.state ------
@@ -86,6 +87,10 @@ class ShardedTSDFMap(TSDFMap):
         metrics_acc: dict = {}
         for beg in range(0, max(len(points), 1), batch):
             chunk = points[beg:beg + batch]
+            # same density dispatch as the single-device insert: per-shard
+            # scratch integration on a sparse outdoor scan must run the
+            # sparse backend, not the dense fused kernel + fallback
+            impl = self._dispatch_config(chunk).accumulate_impl
             shards = sharded.morton_split(chunk, self.n_shards,
                                           self.config.sdf_res)
             per = max(len(c) for c in shards)
@@ -95,7 +100,7 @@ class ShardedTSDFMap(TSDFMap):
             for i, c in enumerate(shards):
                 padded[i * bucket:i * bucket + len(c)] = c
                 n_per[i] = len(c)
-            self.state_stack, metrics = self._step_for(bucket)(
+            self.state_stack, metrics = self._step_for(bucket, impl)(
                 self.state_stack, padded, n_per, position)
             for k, v in metrics.items():
                 metrics_acc[k] = (metrics_acc[k] + v) if k in metrics_acc \

@@ -209,3 +209,47 @@ def test_raycast_cache_invalidation():
     d2 = pts2[0] / np.linalg.norm(pts2[0])
     h3 = m.raycast(np.zeros(3), d2)
     assert h3 is not None and abs(np.linalg.norm(h3) - 0.5) < 0.1
+
+
+def test_packed_ingest_agrees_with_plain():
+    """The packed path must reproduce the plain path's map up to the
+    declared 3.1 mm input quantization: ray-traversal boundary decisions
+    shift with last-ulp input changes (so exact voxel-set equality is not
+    a meaningful bar), but the voxel sets must overlap overwhelmingly and
+    agree on signed distance where shared."""
+    import dataclasses
+
+    cfg = MapConfig(**SMALL)
+    pts = sphere_points(4096, r=1.0)
+    pos = np.zeros(3, np.float32)
+
+    m_plain = TSDFMap(config=cfg)
+    m_plain.insert(pts, pos)
+    m_packed = TSDFMap(config=dataclasses.replace(cfg, packed_ingest=True))
+    m_packed.insert(pts, pos)
+
+    c1, s1 = m_plain.voxel_samples()
+    c2, s2 = m_packed.voxel_samples()
+    common, i1, i2 = np.intersect1d(c1, c2, return_indices=True)
+    assert common.shape[0] >= 0.95 * max(c1.shape[0], c2.shape[0])
+    # shared voxels: sd differs by the input shift projected on the
+    # normal (~mm) plus codec granularity
+    diff = np.abs(s1[i1] - s2[i2])
+    assert float(np.median(diff)) < 0.004
+    assert float(np.mean(diff)) < 0.01
+
+
+def test_packed_ingest_quantization_below_noise():
+    """Random (off-grid) points: the 3.1 mm packing error must not move the
+    reconstructed surface beyond a small fraction of the voxel size."""
+    import dataclasses
+
+    cfg = MapConfig(**SMALL)
+    pts = sphere_points(8192, r=1.0)
+    pos = np.zeros(3, np.float32)
+    m = TSDFMap(config=dataclasses.replace(cfg, packed_ingest=True))
+    m.insert(pts, pos)
+    mesh = m.extract_mesh()
+    radii = np.linalg.norm(mesh.vertices, axis=1)
+    assert np.abs(radii - 1.0).max() < 2 * cfg.sdf_res
+    assert np.sqrt(((radii - 1.0) ** 2).mean()) < 0.02

@@ -99,7 +99,7 @@ def test_sharded_insert_is_sync_free_and_bucketed():
     assert not isinstance(raw, (int, float)), type(raw)
     # a 4096-point scan split over 8 shards (~512 each) must use the
     # smallest bucket, keeping the compile shape ~64x under max_points
-    assert list(smap._steps) == [min(cfg.buckets)]
+    assert [k[0] for k in smap._steps] == [min(cfg.buckets)]
     assert min(cfg.buckets) < cfg.max_points
     # reading a metric materializes it
     assert m["n_blocks"] > 0
