@@ -377,9 +377,22 @@ def shard_state_host(state: ActiveMapState, mesh: Mesh, config: MapConfig,
 
 
 def gather_states(state_stack) -> list[ActiveMapState]:
-    """Split a stacked sharded state into per-shard host-side states."""
+    """Split a stacked sharded state into per-shard host-side states.
+
+    Materializes EVERY leaf — including the full pool planes (2 x 256 MiB
+    per shard at defaults).  Use only where the whole pool is genuinely
+    needed (checkpointing); the finalize path takes
+    :func:`gather_states_device` and fetches just the live clusters."""
     n = state_stack.dir_keys.shape[0]
     out = []
     for i in range(n):
         out.append(jax.tree.map(lambda x: np.asarray(x[i]), state_stack))
     return out
+
+
+def gather_states_device(state_stack) -> list[ActiveMapState]:
+    """Per-shard state VIEWS with device-array leaves — no host transfer;
+    consumers (core.submap.finalize_sharded) fetch only what they need."""
+    n = state_stack.dir_keys.shape[0]
+    return [jax.tree.map(lambda x, i=i: x[i], state_stack)
+            for i in range(n)]

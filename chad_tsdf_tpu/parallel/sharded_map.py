@@ -29,6 +29,14 @@ from ..core.state import origin_blocks_for_position
 from . import sharded
 
 
+# compiled sharded insert steps, shared across map instances: jax.jit
+# caches per wrapped-function object, so per-instance steps would re-trace
+# (and reload the whole compile) for every new ShardedTSDFMap — measured
+# 65 s per fresh instance on the remote-TPU link even with a warm
+# persistent compile cache
+_STEP_CACHE: dict = {}
+
+
 class ShardedTSDFMap(TSDFMap):
     def __init__(self, sdf_res: float = 0.05, sdf_trunc: float = 0.1,
                  config: MapConfig | None = None, mesh=None,
@@ -47,12 +55,19 @@ class ShardedTSDFMap(TSDFMap):
     def _step_for(self, bucket: int, impl: str):
         step = self._steps.get((bucket, impl))
         if step is None:
-            cfg = dataclasses.replace(self.config, max_points=bucket,
-                                      point_buckets=(),
-                                      accumulate_impl=impl)
-            step, cap = sharded.make_sharded_insert(
-                cfg, self.mesh, halo_capacity=self.halo_capacity,
-                axis=self.axis)
+            key = (self.config,
+                   tuple(d.id for d in self.mesh.devices.flat),
+                   self.axis, self.halo_capacity, bucket, impl)
+            cached = _STEP_CACHE.get(key)
+            if cached is None:
+                cfg = dataclasses.replace(self.config, max_points=bucket,
+                                          point_buckets=(),
+                                          accumulate_impl=impl)
+                cached = sharded.make_sharded_insert(
+                    cfg, self.mesh, halo_capacity=self.halo_capacity,
+                    axis=self.axis)
+                _STEP_CACHE[key] = cached
+            step, cap = cached
             self.halo_capacity = cap
             self._steps[(bucket, impl)] = step
         return step
@@ -124,7 +139,7 @@ class ShardedTSDFMap(TSDFMap):
 
     def _finalize_active(self) -> None:
         sm = submap_mod.finalize_sharded(
-            sharded.gather_states(self.state_stack), self.levels,
+            sharded.gather_states_device(self.state_stack), self.levels,
             self.config, self._positions)
         sm.anchor = self._anchor_from(self._positions)
         self.submaps.append(sm)
@@ -136,8 +151,8 @@ class ShardedTSDFMap(TSDFMap):
             if self._active_snapshot is None:
                 scratch = dag.NodeLevels()
                 sm = submap_mod.finalize_sharded(
-                    sharded.gather_states(self.state_stack), scratch,
-                    self.config, self._positions)
+                    sharded.gather_states_device(self.state_stack),
+                    scratch, self.config, self._positions)
                 sm.levels = scratch
                 sm.anchor = self._anchor_from(self._positions)
                 self._active_snapshot = sm

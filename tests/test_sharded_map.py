@@ -103,3 +103,20 @@ def test_sharded_insert_is_sync_free_and_bucketed():
     assert min(cfg.buckets) < cfg.max_points
     # reading a metric materializes it
     assert m["n_blocks"] > 0
+
+
+@needs_mesh
+def test_sharded_steps_shared_across_instances():
+    """Two maps with the same (config, mesh) must reuse the same compiled
+    step — per-instance jits re-trace and reload the whole compile
+    (measured 65 s per fresh instance on the remote-TPU link)."""
+    cfg = MapConfig(max_points=1 << 12, block_capacity=4096,
+                    touched_capacity=2048, accumulate_impl="xla")
+    mesh = make_mesh(8)
+    m1 = ShardedTSDFMap(config=cfg, mesh=mesh)
+    m1.insert(sphere_points(1024), np.zeros(3, np.float32))
+    m2 = ShardedTSDFMap(config=cfg, mesh=mesh)
+    m2.insert(sphere_points(1024), np.zeros(3, np.float32))
+    (k1, s1), = m1._steps.items()
+    (k2, s2), = m2._steps.items()
+    assert k1 == k2 and s1 is s2
