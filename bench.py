@@ -74,13 +74,21 @@ def main():
                                                config)
     sync()
 
-    reps, rounds = 10, 3
+    # one dispatch of `reps` chained steps (lax.scan): per-dispatch enqueue
+    # through the relay costs 3-15 ms and varies with link health, so a
+    # Python loop intermittently starves the ~21 ms device step and the
+    # measurement wobbles +-10%; the scan form measures the device alone
+    # (differentially tested equal to the looped form, test_integrate)
+    # reps amortizes the one mandatory readback RT (~28 ms) per round
+    reps, rounds = 25, 3
+    state = integrate.insert_steps_scan(state, points, n, position, config,
+                                        reps)     # compile + warm
+    sync()
     per_round = []
     for _ in range(rounds):
         t0 = time.perf_counter()
-        for _ in range(reps):
-            state, metrics = integrate.insert_step(state, points, n,
-                                                   position, config)
+        state = integrate.insert_steps_scan(state, points, n, position,
+                                            config, reps)
         sync()
         per_round.append((time.perf_counter() - t0) / reps)
     amortized = statistics.median(per_round)

@@ -515,6 +515,29 @@ def update_pool_tiled(state: ActiveMapState, pkeys, psd, pw, tile_ovf,
     return new_state, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("config", "reps"),
+                   donate_argnums=(0,))
+def insert_steps_scan(state: ActiveMapState, points: jnp.ndarray,
+                      n_points: jnp.ndarray, position: jnp.ndarray,
+                      config: MapConfig, reps: int):
+    """Integrate the same (padded) cloud ``reps`` times in ONE dispatch —
+    a ``lax.scan`` over the insert body.
+
+    The per-chip throughput primitive (bench.py): on a remote-tunnel host
+    link, per-dispatch enqueue cost is 3-15 ms and VARIES with link
+    health, so a Python loop of ``insert_step`` calls intermittently
+    starves a ~21 ms device step and the measurement wobbles +-10 %.  One
+    dispatch of ``reps`` chained steps measures the device alone.  Also
+    the building block for burst ingestion (N queued scans, one launch).
+    """
+    def body(st, _):
+        st, _m = insert_step_impl(st, points, n_points, position, config)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, None, length=reps)
+    return state
+
+
 @functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def insert_step_packed(state: ActiveMapState, qpoints: jnp.ndarray,
                        n_points: jnp.ndarray, position: jnp.ndarray,

@@ -380,3 +380,28 @@ def test_seg_impl_entry_bucket_branches():
         np.testing.assert_allclose(np.asarray(st_x.pool_sd),
                                    np.asarray(st_s.pool_sd),
                                    rtol=0, atol=1e-5)
+
+
+def test_insert_steps_scan_matches_looped():
+    """One-dispatch multi-step insert (lax.scan) must produce the identical
+    state as the equivalent Python loop of insert_step calls."""
+    cfg = CFG
+    pts = sphere_points(2048)
+    pos = np.zeros(3, np.float32)
+    pad = np.zeros((cfg.max_points, 3), np.float32)
+    pad[:2048] = pts
+    points = jnp.asarray(pad)
+
+    st_loop = create_state(cfg, origin_blocks_for_position(pos, cfg))
+    for _ in range(3):
+        st_loop, _ = integrate.insert_step(st_loop, points, jnp.int32(2048),
+                                           jnp.asarray(pos), cfg)
+    st_scan = create_state(cfg, origin_blocks_for_position(pos, cfg))
+    st_scan = integrate.insert_steps_scan(st_scan, points, jnp.int32(2048),
+                                          jnp.asarray(pos), cfg, 3)
+    np.testing.assert_array_equal(np.asarray(st_loop.dir_keys),
+                                  np.asarray(st_scan.dir_keys))
+    np.testing.assert_array_equal(np.asarray(st_loop.pool_w),
+                                  np.asarray(st_scan.pool_w))
+    np.testing.assert_allclose(np.asarray(st_loop.pool_sd),
+                               np.asarray(st_scan.pool_sd), rtol=0, atol=0)
