@@ -214,10 +214,11 @@ class TSDFMap:
     def _dispatch_config(self, chunk: np.ndarray):
         """Pick the accumulate backend per scan under 'auto' (TPU only):
         the fused tile kernel pays for itself only on dense clouds (many
-        points per touched block); sparse outdoor scans overflow every
-        tile's block list and must run the global-sort path.  Density is
-        estimated host-side from a subsample — two compile cache entries,
-        one cheap np.unique per insert."""
+        points per touched block); sparse outdoor scans run the 'seg'
+        backend (voxel-sorted segment reduction + compacted scatter, zero
+        tile overflow by construction).  Density is estimated host-side
+        from a subsample — one compile cache entry per backend, one cheap
+        np.unique per insert."""
         if (self.config.accumulate_impl != "auto"
                 or jax.default_backend() != "tpu" or len(chunk) == 0):
             return self.config
