@@ -191,6 +191,12 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
     def shard_fn(state, points, n_points, position):
         state = jax.tree.map(lambda x: x[0], state)     # drop device axis
         points = points.reshape(-1, 3)
+        if config.packed_ingest:
+            # int16 scanner-relative fixed-point upload (see
+            # core/integrate.insert_step_packed): halves host->device
+            # bytes, the per-scan cost floor on link-bound streaming
+            step_q = jnp.float32(config.sdf_res / 8.0)
+            points = points.astype(jnp.float32) * step_q + position[None, :]
         bounds = jnp.asarray(bounds_np)
         me = jax.lax.axis_index(axis)
 

@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 from ..config import MapConfig
-from ..core import dag, submap as submap_mod
+from ..core import dag, integrate, submap as submap_mod
 from ..core.map import LazyMetrics, TSDFMap
 from ..core.state import origin_blocks_for_position
 from . import sharded
@@ -115,6 +115,9 @@ class ShardedTSDFMap(TSDFMap):
             for i, c in enumerate(shards):
                 padded[i * bucket:i * bucket + len(c)] = c
                 n_per[i] = len(c)
+            if self.config.packed_ingest:
+                padded = integrate.pack_points(padded, position,
+                                               self.config.sdf_res)
             self.state_stack, metrics = self._step_for(bucket, impl)(
                 self.state_stack, padded, n_per, position)
             for k, v in metrics.items():

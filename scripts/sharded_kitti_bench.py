@@ -51,7 +51,7 @@ def main():
 
     n_dev = args.devices or len(jax.devices())
     config = MapConfig(block_capacity=1 << 17, touched_capacity=1 << 15,
-                       max_points=1 << 17)
+                       max_points=1 << 17, packed_ingest=True)
     scans = [(synthetic_lidar_scan([1.5 * i, 0.0, 0.0], seed=i),
               np.float32([1.5 * i, 0.0, 1.7]))
              for i in range(args.scans)]

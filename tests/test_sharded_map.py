@@ -120,3 +120,28 @@ def test_sharded_steps_shared_across_instances():
     (k1, s1), = m1._steps.items()
     (k2, s2), = m2._steps.items()
     assert k1 == k2 and s1 is s2
+
+
+@needs_mesh
+def test_sharded_packed_ingest_agrees():
+    """Packed int16 ingestion through the sharded path must reproduce the
+    f32 sharded map within the declared 3.1 mm input quantization."""
+    import dataclasses
+
+    cfg = MapConfig(max_points=1 << 12, block_capacity=4096,
+                    touched_capacity=2048, accumulate_impl="xla")
+    pts = sphere_points(4096, r=1.5)
+    pos = np.zeros(3, np.float32)
+    m_plain = ShardedTSDFMap(config=cfg, mesh=make_mesh(8))
+    m_plain.insert(pts, pos)
+    m_packed = ShardedTSDFMap(
+        config=dataclasses.replace(cfg, packed_ingest=True),
+        mesh=make_mesh(8))
+    m_packed.insert(pts, pos)
+
+    c1, s1 = m_plain.voxel_samples()
+    c2, s2 = m_packed.voxel_samples()
+    common, i1, i2 = np.intersect1d(c1, c2, return_indices=True)
+    assert common.shape[0] >= 0.95 * max(c1.shape[0], c2.shape[0])
+    diff = np.abs(s1[i1] - s2[i2])
+    assert float(np.median(diff)) < 0.004
