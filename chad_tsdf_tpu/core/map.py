@@ -211,6 +211,15 @@ class TSDFMap:
                 warned.add(name)
         self._overflow_warned = warned
 
+    def __del__(self):
+        # a short-lived map (< 64 inserts, never rotated/stats'd/saved)
+        # would otherwise drop data without ever warning (advisor r3) —
+        # best-effort: interpreter teardown may have torn the runtime down
+        try:
+            self._warn_overflow()
+        except Exception:
+            pass
+
     def _dispatch_config(self, chunk: np.ndarray):
         """Pick the accumulate backend per scan under 'auto' (TPU only):
         the fused tile kernel pays for itself only on dense clouds (many
@@ -257,8 +266,8 @@ class TSDFMap:
         # bound device memory held by in-flight buffers; the oldest
         # transfer has had the longest to stream, so this rarely blocks
         while len(self._pending) > self.config.max_pending_finalize:
-            self.submaps.append(submap_mod.finish_finalize(
-                self._pending.pop(0), self.levels, self.config))
+            self.submaps.append(
+                self._pending.pop(0).finish(self.levels, self.config))
 
     def _drain_pending(self) -> None:
         """Materialize all pending (rotated-out) submaps, in order.
@@ -266,14 +275,10 @@ class TSDFMap:
         All device->host copies are started first, so the transfer of
         submap k+1 overlaps the host DAG build of submap k."""
         for p in self._pending:
-            if p.buf is not None:
-                try:
-                    p.buf.copy_to_host_async()
-                except Exception:   # pragma: no cover - no async backend
-                    pass
+            p.start_copies()
         while self._pending:
-            self.submaps.append(submap_mod.finish_finalize(
-                self._pending.pop(0), self.levels, self.config))
+            self.submaps.append(
+                self._pending.pop(0).finish(self.levels, self.config))
 
     def finalize_active(self) -> None:
         """Finalize the current active map into a submap immediately — the

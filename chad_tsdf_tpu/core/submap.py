@@ -240,6 +240,16 @@ class PendingSubmap:
     positions: list
     anchor: object = None
 
+    def start_copies(self) -> None:
+        if self.buf is not None:
+            try:
+                self.buf.copy_to_host_async()
+            except Exception:   # pragma: no cover - no async backend
+                pass
+
+    def finish(self, levels: NodeLevels, config: MapConfig) -> Submap:
+        return finish_finalize(self, levels, config)
+
 
 def cap_bucket(n: int) -> int:
     """Smallest {2^k, 1.5*2^k} >= n: finer than pow2 rounding so the
@@ -373,82 +383,168 @@ def _count_voxels(words_t: np.ndarray) -> int:
                 != np.uint64(codec.EMPTY)).sum())
 
 
-def finalize_sharded(states: list, levels: NodeLevels, config: MapConfig,
-                     positions: list) -> Submap:
-    """Finalize a Morton-sharded active map into a single Submap — the
-    submap-merge step of SURVEY §5.8.
+@dataclasses.dataclass
+class PendingShardedSubmap:
+    """A rotated-out Morton-sharded active map awaiting materialization.
 
-    Transfer-frugal (round 4): the previous implementation gathered every
-    shard's FULL pool planes to the host (2 x 256 MiB at defaults — tens
-    of seconds per rotation on a thin host link).  Now each shard ships
-    its (small) directory snapshot plus the same quantized compacted
-    cluster buffer the single-device finalize uses (~20 B per live
-    cluster).  Blocks duplicated across shards — halo rows the routing
-    deferred (parallel/sharded.py; ``route_overflow``, typically 0) — are
-    detected from the directory snapshots, and ONLY their raw accumulator
-    rows are fetched and summed before quantization, so the exactness
-    guarantee is unchanged: identical to a single pool that saw all
-    samples.
+    The sharded analog of :class:`PendingSubmap` (VERDICT r4 task 3): the
+    per-shard device compactions are dispatched at rotation; the cluster
+    transfers and the host DAG build happen at the next drain point, so a
+    sharded submap rotation no longer stalls the insert stream (measured
+    1-2 s/rotation on the bench link when synchronous).
+
+    ``shards``: per live shard (buf device u32, n_pad, cap, count).
+    ``wb_dup``: world block codes owned by >1 shard (deferred halo rows) —
+    their quantized clusters are dropped from every shard buffer at finish
+    and replaced by ``dup_clusters``, pre-merged EXACTLY from the raw
+    accumulator rows at start (identical to a single pool that saw all
+    samples).
+    """
+    shards: list
+    wb_dup: np.ndarray
+    dup_clusters: tuple | None
+    origin_blocks: np.ndarray
+    positions: list
+    anchor: object = None
+
+    def start_copies(self) -> None:
+        for buf, _, _, _ in self.shards:
+            try:
+                buf.copy_to_host_async()
+            except Exception:   # pragma: no cover - no async backend
+                pass
+
+    def finish(self, levels: NodeLevels, config: MapConfig) -> Submap:
+        return finish_finalize_sharded(self, levels, config)
+
+
+def start_finalize_sharded(states: list, config: MapConfig,
+                           positions: list,
+                           anchor=None) -> PendingShardedSubmap:
+    """Begin finalizing a sharded active map without draining the stream.
+
+    Transfer-frugal (round 4): never gathers the full pool planes (2 x
+    256 MiB per shard at defaults).  Per shard it reads one counter vector
+    (n_blocks, live clusters, overflow counters — a single small
+    transfer), dispatches the same quantized compacted cluster extraction
+    the single-device finalize uses (~20 B per live cluster, transfer
+    deferred), and — only when shards share a block key, i.e. halo rows
+    were deferred by routing (``route_overflow`` > 0, typically never) —
+    fetches those few blocks' raw accumulator rows and pre-merges them
+    exactly.
 
     ``states`` may hold device or host arrays (gather_states_device /
-    gather_states).
-    """
-    shard_keys, shard_slots = [], []
-    for st in states:
-        nb = int(st.n_blocks)
-        if nb:
-            shard_keys.append(np.asarray(st.dir_keys[:nb]))
-            shard_slots.append(np.asarray(st.dir_slots[:nb]))
-        else:
-            shard_keys.append(np.zeros(0, np.int32))
-            shard_slots.append(np.zeros(0, np.int32))
-    all_keys = np.concatenate(shard_keys) if shard_keys else \
-        np.zeros(0, np.int32)
-    if all_keys.size == 0:
-        z = np.zeros(0, np.uint64)
-        return build_submap(levels, z, z.copy(), z.copy(), positions, 0)
-    uk, kcounts = np.unique(all_keys, return_counts=True)
-    dup = uk[kcounts > 1]
-    origin = np.asarray(states[0].origin_blocks)
-    wb_dup = morton.np_block_key_to_world63(
-        dup, origin, config.block_bits) if dup.size else \
-        np.zeros(0, np.uint64)
+    gather_states)."""
+    import warnings
+    cb = config.block_capacity
+    per = [np.asarray(_rotation_counters(st, cb)) for st in states]
+    ovf_tot = {}
+    for vals in per:
+        for k, v in zip(("point_overflow", "sample_overflow",
+                         "block_overflow", "touched_overflow"), vals[2:]):
+            if int(v) > 0:
+                ovf_tot[k] = ovf_tot.get(k, 0) + int(v)
+    if ovf_tot:
+        warnings.warn(
+            f"sharded map capacity overflow — dropped data: {ovf_tot}; "
+            "raise the corresponding MapConfig capacities "
+            "(block_capacity/touched_capacity/max_points) or shrink the "
+            "scan extent", RuntimeWarning, stacklevel=3)
 
-    codes_l, wt_l, ww_l = [], [], []
-    dup_codes_l, dup_sd_l, dup_w_l = [], [], []
-    for st, keys, slots in zip(states, shard_keys, shard_slots):
-        if keys.size == 0:
-            continue
-        codes, wt, ww, _ = extract_clusters(st, config)
+    origin = np.asarray(states[0].origin_blocks)
+    # duplicate detection needs the directory snapshots — only possible
+    # (and only fetched) with >1 shard
+    wb_dup = np.zeros(0, np.uint64)
+    dup_clusters = None
+    shard_keys = [None] * len(states)
+    if len(states) > 1:
+        for i, (st, vals) in enumerate(zip(states, per)):
+            nb = int(vals[0])
+            shard_keys[i] = np.asarray(st.dir_keys[:nb]) if nb else \
+                np.zeros(0, np.int32)
+        all_keys = np.concatenate(shard_keys)
+        uk, kcounts = np.unique(all_keys, return_counts=True)
+        dup = uk[kcounts > 1]
         if dup.size:
-            keep = ~np.isin((codes >> np.uint64(6)).astype(np.uint64),
-                            wb_dup)
-            codes, wt, ww = codes[keep], wt[keep], ww[keep]
-            sel = np.nonzero(np.isin(keys, dup))[0]
-            if sel.size:
-                sl = slots[sel]
+            wb_dup = morton.np_block_key_to_world63(dup, origin,
+                                                    config.block_bits)
+            dup_codes_l, dup_sd_l, dup_w_l = [], [], []
+            for st, vals, keys in zip(states, per, shard_keys):
+                nb = int(vals[0])
+                if nb == 0:
+                    continue
+                sel = np.nonzero(np.isin(keys, dup))[0]
+                if sel.size == 0:
+                    continue
+                sl = np.asarray(st.dir_slots[:nb])[sel]
                 dup_codes_l.append(morton.np_block_key_to_world63(
                     keys[sel], origin, config.block_bits))
                 dup_sd_l.append(np.asarray(st.pool_sd[sl]))
                 dup_w_l.append(np.asarray(st.pool_w[sl]))
+            dup_clusters = _quantize_pack_rows(
+                np.concatenate(dup_codes_l), np.concatenate(dup_sd_l),
+                np.concatenate(dup_w_l), config)
+
+    shards = []
+    for st, vals in zip(states, per):
+        nb, count = int(vals[0]), int(vals[1])
+        if nb == 0 or count == 0:
+            continue
+        n_pad = max(1, 1 << (nb - 1).bit_length())
+        cap = cap_bucket(count)
+        buf = _extract_clusters_compact(st, n_pad, cap, config.sdf_trunc)
+        shards.append((buf, n_pad, cap, count))
+    return PendingShardedSubmap(shards, wb_dup, dup_clusters, origin,
+                                list(positions), anchor)
+
+
+def finish_finalize_sharded(pending: PendingShardedSubmap,
+                            levels: NodeLevels,
+                            config: MapConfig) -> Submap:
+    """Materialize a PendingShardedSubmap into the DAG (host)."""
+    codes_l, wt_l, ww_l = [], [], []
+    for buf, n_pad, cap, count in pending.shards:
+        b = np.asarray(buf)
+        codes, wt, ww, _ = _unpack_cluster_buf(b, n_pad, cap, count,
+                                               pending.origin_blocks,
+                                               config)
+        if pending.wb_dup.size:
+            keep = ~np.isin((codes >> np.uint64(6)).astype(np.uint64),
+                            pending.wb_dup)
+            codes, wt, ww = codes[keep], wt[keep], ww[keep]
         codes_l.append(codes)
         wt_l.append(wt)
         ww_l.append(ww)
-    if dup_codes_l:
-        ccodes, wt, ww = _quantize_pack_rows(
-            np.concatenate(dup_codes_l), np.concatenate(dup_sd_l),
-            np.concatenate(dup_w_l), config)
+    if pending.dup_clusters is not None:
+        ccodes, wt, ww = pending.dup_clusters
         codes_l.append(ccodes)
         wt_l.append(wt)
         ww_l.append(ww)
-
+    if not codes_l:
+        z = np.zeros(0, np.uint64)
+        sm = build_submap(levels, z, z.copy(), z.copy(),
+                          pending.positions, 0)
+        sm.anchor = pending.anchor
+        return sm
     codes = np.concatenate(codes_l)
     words_t = np.concatenate(wt_l)
     words_w = np.concatenate(ww_l)
     order = np.argsort(codes, kind="stable")
     codes, words_t, words_w = codes[order], words_t[order], words_w[order]
-    return build_submap(levels, codes, words_t, words_w, positions,
-                        _count_voxels(words_t))
+    sm = build_submap(levels, codes, words_t, words_w, pending.positions,
+                      _count_voxels(words_t))
+    sm.anchor = pending.anchor
+    return sm
+
+
+def finalize_sharded(states: list, levels: NodeLevels, config: MapConfig,
+                     positions: list) -> Submap:
+    """Finalize a Morton-sharded active map into a single Submap — the
+    submap-merge step of SURVEY §5.8 (synchronous form;
+    :func:`start_finalize_sharded` / :func:`finish_finalize_sharded` is
+    the stream-friendly split)."""
+    return finish_finalize_sharded(
+        start_finalize_sharded(states, config, positions), levels, config)
 
 
 def _add_empty_chain(levels: NodeLevels) -> int:

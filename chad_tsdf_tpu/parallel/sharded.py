@@ -80,10 +80,14 @@ def scratch_config(config: MapConfig) -> MapConfig:
 def default_halo_capacity(n_shards: int, config: MapConfig) -> int:
     """Per-(src,dst) row capacity for the halo all_to_all.
 
-    2x the uniform share of a batch's touched blocks; overflow defers rows
-    locally (never drops them)."""
-    cap = 2 * config.touched_capacity // max(n_shards, 1)
-    return max(64, -(-cap // 8) * 8)
+    Remote rows are the halo band — blocks within one truncation band of a
+    Morton range boundary, a few % of a scan's touched blocks under the
+    Morton-contiguous host split — so the default reserves half the uniform
+    share of ``touched_capacity``.  Rows beyond it defer locally (counted
+    in ``route_overflow``, merged exactly at finalize — never dropped), so
+    a too-small capacity costs deduplication latency, not data."""
+    cap = config.touched_capacity // (2 * max(n_shards, 1))
+    return max(256, -(-cap // 8) * 8)
 
 
 def create_sharded_state(config: MapConfig, mesh: Mesh, origin_blocks=None,
@@ -181,6 +185,39 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
     if halo_capacity is None:
         halo_capacity = default_halo_capacity(n_shards, config)
     bounds_np = key_bounds(n_shards, config)
+
+    if n_shards == 1:
+        # One shard owns the whole key space: no halo can exist, so the
+        # scratch pool, the routing all_to_all and the second merge pass
+        # are pure overhead (measured 3-4.6x vs the single-device path on
+        # the same chip, SHARDED_KITTI_tpu1 round 4).  Integrate straight
+        # into the persistent pool with the exact single-device pipeline —
+        # the sharded map at N=1 then IS the single-device map.
+        def shard_fn_single(state, points, n_points, position):
+            state = jax.tree.map(lambda x: x[0], state)
+            points = points.reshape(-1, 3)
+            if config.packed_ingest:
+                step_q = jnp.float32(config.sdf_res / 8.0)
+                points = points.astype(jnp.float32) * step_q + \
+                    position[None, :]
+            state, metrics = integrate.insert_step_impl(
+                state, points, n_points[0], position, config)
+            metrics["route_overflow"] = jnp.int32(0)
+            metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
+            state = jax.tree.map(lambda x: x[None], state)
+            return state, metrics
+
+        pspec1 = jax.tree.map(lambda _: P(axis),
+                              jax.eval_shape(lambda: create_state(config)))
+        step1 = jax.jit(
+            jax.shard_map(
+                shard_fn_single, mesh=mesh,
+                in_specs=(pspec1, P(axis), P(axis), P()),
+                out_specs=(pspec1, P()),
+                check_vma=False,
+            ),
+            donate_argnums=(0,))
+        return step1, halo_capacity
     scfg = scratch_config(config)
     scb = scfg.block_capacity
     # the combined row stream (local + received) can touch at most this many
@@ -205,25 +242,46 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
         scratch, sm = integrate.insert_step_impl(
             scratch, points, n_points[0], position, scfg)
 
-        # ---- 2. extract consolidated block rows (key-sorted via dir) ----
-        keys = scratch.dir_keys                          # (scb,) ascending
-        slots = scratch.dir_slots
-        sd_rows = scratch.pool_sd[slots]
-        w_rows = scratch.pool_w[slots]
+        # ---- 2-4. extract + route + merge, bucketed on the LIVE row count
+        # The scratch directory is sorted with an INT32_MAX tail, so its
+        # live entries are a prefix: the (rows, 512) gathers, the routing
+        # send buffers and the merge stream all shrink to the smallest
+        # bucket holding every shard's live count (a typical KITTI-shaped
+        # step touches ~4k of the 32k-row worst case).  The bucket index is
+        # pmax-agreed across shards so each branch's all_to_all is executed
+        # uniformly by the whole mesh.
+        n_live_max = jax.lax.pmax(scratch.n_blocks, axis)
+        row_buckets = sorted({min(scb, max(1024, scb // 8)),
+                              min(scb, max(1024, scb // 2)), scb})
 
-        # ---- 3. halo exchange of non-owned rows ----
-        local_k, recv_k, recv_sd, recv_w, deferred = _route_block_rows(
-            keys, sd_rows, w_rows, bounds, me, halo_capacity, axis)
+        def step_with_rows(b):
+            def run(state):
+                keys = scratch.dir_keys[:b]              # ascending prefix
+                slots = scratch.dir_slots[:b]
+                sd_rows = scratch.pool_sd[slots]
+                w_rows = scratch.pool_w[slots]
 
-        # ---- 4. merge local + received rows into the persistent pool ----
-        pkeys = jnp.concatenate([local_k, recv_k]).reshape(-1, 1)
-        psd = jnp.concatenate([sd_rows, recv_sd])
-        pw = jnp.concatenate([w_rows, recv_w])
-        state, metrics = integrate.update_pool_tiled(
-            state, pkeys, psd, pw,
-            scratch.tile_overflow, sm["n_valid_samples"],
-            scratch.sample_overflow, scratch.point_overflow, merge_cfg,
-            interpret=jax.default_backend() != "tpu")
+                local_k, recv_k, recv_sd, recv_w, deferred = \
+                    _route_block_rows(keys, sd_rows, w_rows, bounds, me,
+                                      halo_capacity, axis)
+
+                pkeys = jnp.concatenate([local_k, recv_k]).reshape(-1, 1)
+                psd = jnp.concatenate([sd_rows, recv_sd])
+                pw = jnp.concatenate([w_rows, recv_w])
+                state, metrics = integrate.update_pool_tiled(
+                    state, pkeys, psd, pw,
+                    scratch.tile_overflow, sm["n_valid_samples"],
+                    scratch.sample_overflow, scratch.point_overflow,
+                    merge_cfg,
+                    interpret=jax.default_backend() != "tpu")
+                metrics["route_overflow"] = deferred
+                return state, metrics
+            return run
+
+        branch = len(row_buckets) - 1 - sum(
+            n_live_max <= b for b in row_buckets[:-1])
+        state, metrics = jax.lax.switch(
+            branch, [step_with_rows(b) for b in row_buckets], state)
         # scratch-level overflows are real capacity events — carry them over
         state = dataclasses.replace(
             state,
@@ -231,7 +289,6 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
             touched_overflow=(state.touched_overflow +
                               scratch.touched_overflow))
 
-        metrics["route_overflow"] = deferred
         metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
         state = jax.tree.map(lambda x: x[None], state)  # re-add device axis
         return state, metrics

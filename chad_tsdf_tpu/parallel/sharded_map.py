@@ -37,6 +37,20 @@ from . import sharded
 _STEP_CACHE: dict = {}
 
 
+@jax.jit
+def _stacked_counters(state_stack):
+    """Five overflow counters summed over the shard axis — one device
+    reduction, one small transfer (per-counter ``int(...)`` readbacks cost
+    a ~28 ms round trip EACH through the axon relay)."""
+    import jax.numpy as jnp
+    return jnp.stack([
+        jnp.sum(state_stack.point_overflow),
+        jnp.sum(state_stack.sample_overflow),
+        jnp.sum(state_stack.block_overflow),
+        jnp.sum(state_stack.touched_overflow),
+        jnp.sum(state_stack.tile_overflow)])
+
+
 class ShardedTSDFMap(TSDFMap):
     def __init__(self, sdf_res: float = 0.05, sdf_trunc: float = 0.1,
                  config: MapConfig | None = None, mesh=None,
@@ -106,8 +120,13 @@ class ShardedTSDFMap(TSDFMap):
             # scratch integration on a sparse outdoor scan must run the
             # sparse backend, not the dense fused kernel + fallback
             impl = self._dispatch_config(chunk).accumulate_impl
-            shards = sharded.morton_split(chunk, self.n_shards,
-                                          self.config.sdf_res)
+            if self.n_shards == 1:
+                # no split needed (the pipeline Morton-sorts on device) —
+                # the host argsort would cost ~10 ms per 131k-point scan
+                shards = [chunk]
+            else:
+                shards = sharded.morton_split(chunk, self.n_shards,
+                                              self.config.sdf_res)
             per = max(len(c) for c in shards)
             bucket = next((b for b in buckets if b >= per), cap)
             padded = np.zeros((self.n_shards * bucket, 3), np.float32)
@@ -131,6 +150,11 @@ class ShardedTSDFMap(TSDFMap):
                   f"samples={metrics_acc['n_valid_samples']} "
                   f"blocks={metrics_acc['n_blocks']} "
                   f"deferred={metrics_acc['route_overflow']}")
+        self._n_inserts = getattr(self, "_n_inserts", 0) + 1
+        # amortized like the single-device path: the stacked-counter check
+        # costs one readback (also runs at rotation/stats/__del__)
+        if self._n_inserts % 64 == 0 or self.config.profile:
+            self._warn_overflow()
         self.last_metrics = metrics_acc
         return metrics_acc
 
@@ -141,13 +165,21 @@ class ShardedTSDFMap(TSDFMap):
         self._positions = []
 
     def _finalize_active(self) -> None:
-        sm = submap_mod.finalize_sharded(
-            sharded.gather_states_device(self.state_stack), self.levels,
-            self.config, self._positions)
-        sm.anchor = self._anchor_from(self._positions)
-        self.submaps.append(sm)
+        """Deferred sharded rotation (VERDICT r4 task 3): dispatch the
+        per-shard device compactions now, materialize the DAG at the next
+        drain point — a synchronous ``finalize_sharded`` stalls the stream
+        1-2 s per rotation on a thin host link, exactly the stall the
+        single-device path eliminated with ``PendingSubmap``."""
+        p = submap_mod.start_finalize_sharded(
+            sharded.gather_states_device(self.state_stack), self.config,
+            self._positions, anchor=self._anchor_from(self._positions))
+        self._pending.append(p)
+        while len(self._pending) > self.config.max_pending_finalize:
+            self.submaps.append(
+                self._pending.pop(0).finish(self.levels, self.config))
 
     def _all_submaps(self):
+        self._drain_pending()
         out = list(self.submaps)
         if self.state_stack is not None and \
                 int(self.state_stack.n_blocks.sum()) > 0:
@@ -162,18 +194,53 @@ class ShardedTSDFMap(TSDFMap):
             out.append(self._active_snapshot)
         return out
 
+    def _stacked_overflow(self) -> dict:
+        """All five overflow counters summed over shards in ONE transfer."""
+        st = self.state_stack
+        names = ("point_overflow", "sample_overflow", "block_overflow",
+                 "touched_overflow", "tile_overflow")
+        vals = np.asarray(_stacked_counters(st))
+        return dict(zip(names, (int(v) for v in vals)))
+
+    def _warn_overflow(self) -> None:
+        """Sharded analog of TSDFMap._warn_overflow: lossy overflow on ANY
+        shard must warn, not sit silently in stats()["overflow"] (the
+        "counted, never silent" contract of core/state.py)."""
+        if self.state_stack is None:
+            return
+        warned = getattr(self, "_overflow_warned", set())
+        knob = {"point_overflow": "block_bits (local extent)",
+                "sample_overflow": "block_bits (local extent)",
+                "block_overflow": "block_capacity",
+                "touched_overflow": "touched_capacity"}
+        ovf = self._stacked_overflow()
+        for name in self._LOSSY_OVERFLOWS:
+            if name in warned or ovf[name] == 0:
+                continue
+            import warnings
+            warnings.warn(
+                f"ShardedTSDFMap: {name} = {ovf[name]} across shards — "
+                f"samples were dropped and counted; the map is degraded "
+                f"in those regions. Raise MapConfig.{knob[name]} to avoid "
+                "this.", stacklevel=3)
+            warned.add(name)
+        self._overflow_warned = warned
+
     def stats(self) -> dict:
+        self._warn_overflow()
+        self._drain_pending()
         s = self.levels.stats()
         s["n_submaps"] = len(self.submaps)
         s["n_shards"] = self.n_shards
         if self.state_stack is not None:
             st = self.state_stack
             s["active_blocks"] = int(np.asarray(st.n_blocks).sum())
+            ovf = self._stacked_overflow()
             s["overflow"] = {
-                "points": int(np.asarray(st.point_overflow).sum()),
-                "samples": int(np.asarray(st.sample_overflow).sum()),
-                "blocks": int(np.asarray(st.block_overflow).sum()),
-                "touched": int(np.asarray(st.touched_overflow).sum()),
-                "tile": int(np.asarray(st.tile_overflow).sum()),
+                "points": ovf["point_overflow"],
+                "samples": ovf["sample_overflow"],
+                "blocks": ovf["block_overflow"],
+                "touched": ovf["touched_overflow"],
+                "tile": ovf["tile_overflow"],
             }
         return s

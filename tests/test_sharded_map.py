@@ -64,8 +64,12 @@ def test_sharded_map_rotation_and_save(tmp_path):
     far = np.float32([8.0, 0.0, 0.0])
     smap.insert(sphere_points(2048, r=1.5, seed=2, centre=(8.0, 0.0, 0.0)),
                 far)
-    assert len(smap.submaps) == 1            # first submap finalized
-    stats = smap.stats()
+    # rotation is DEFERRED (start_finalize_sharded): the device compaction
+    # is dispatched but the host DAG build waits for the next drain point
+    assert len(smap._pending) == 1 and len(smap.submaps) == 0
+    assert smap.n_submaps == 1               # first submap finalized
+    stats = smap.stats()                     # drains the pending rotation
+    assert len(smap.submaps) == 1 and not smap._pending
     assert stats["n_submaps"] == 1
     assert stats["active_blocks"] > 0
 
@@ -145,3 +149,82 @@ def test_sharded_packed_ingest_agrees():
     assert common.shape[0] >= 0.95 * max(c1.shape[0], c2.shape[0])
     diff = np.abs(s1[i1] - s2[i2])
     assert float(np.median(diff)) < 0.004
+
+
+def test_sharded_map_n1_matches_single_device_exactly():
+    """At N=1 the sharded step must BE the single-device pipeline (no
+    scratch pool, no routing, no second merge — VERDICT r4 task 1): the
+    resulting map is bit-identical to TSDFMap on the same stream."""
+    pts = sphere_points(1024, r=1.5)
+    pos = np.zeros(3, np.float32)
+    cfg = MapConfig(max_points=1024, block_capacity=4096,
+                    touched_capacity=2048, accumulate_impl="xla")
+
+    smap = ShardedTSDFMap(config=cfg, mesh=make_mesh(1))
+    smap.insert(pts, pos)
+    assert smap.last_metrics["route_overflow"] == 0
+
+    ref = TSDFMap(config=cfg)
+    ref.insert(pts, pos)
+
+    codes_s, sd_s = smap.voxel_samples()
+    codes_r, sd_r = ref.voxel_samples()
+    np.testing.assert_array_equal(codes_s, codes_r)
+    np.testing.assert_array_equal(sd_s, sd_r)
+
+    # the persistent pools themselves must agree bit-for-bit
+    st = smap.state_stack
+    np.testing.assert_array_equal(np.asarray(st.pool_sd[0]),
+                                  np.asarray(ref.state.pool_sd))
+    np.testing.assert_array_equal(np.asarray(st.pool_w[0]),
+                                  np.asarray(ref.state.pool_w))
+
+
+@needs_mesh
+def test_sharded_rotation_defers_and_matches_sync(tmp_path):
+    """The deferred start/finish split must produce the same submap DAG as
+    the synchronous finalize_sharded, and the mesh after draining must
+    contain both spheres (no content lost to deferral)."""
+    from chad_tsdf_tpu.core import submap as submap_mod
+    from chad_tsdf_tpu.core.dag import NodeLevels
+    from chad_tsdf_tpu.parallel import sharded
+
+    smap = ShardedTSDFMap(config=CFG, mesh=make_mesh(8))
+    pts0 = sphere_points(2048, r=1.5, seed=21)
+    smap.insert(pts0, np.zeros(3, np.float32))
+
+    # synchronous oracle on the same (pre-rotation) sharded state
+    levels_sync = NodeLevels(use_native=False)
+    sm_sync = submap_mod.finalize_sharded(
+        sharded.gather_states_device(smap.state_stack), levels_sync,
+        CFG, list(smap._positions))
+
+    far = np.float32([8.0, 0.0, 0.0])
+    smap.insert(sphere_points(2048, r=1.5, seed=22, centre=(8.0, 0.0, 0.0)),
+                far)
+    assert len(smap._pending) == 1
+    smap._drain_pending()
+    sm_def = smap.submaps[0]
+
+    c1, w1 = levels_sync.walk_leaf_clusters(sm_sync.root_addr_tsdf)
+    c2, w2 = smap.levels.walk_leaf_clusters(sm_def.root_addr_tsdf)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(w1, w2)
+
+
+def test_sharded_overflow_warns():
+    """Lossy overflow on the sharded path must raise a UserWarning naming
+    the config knob — not sit silently in stats (VERDICT r4 weak #3)."""
+    import warnings as _w
+
+    cfg = MapConfig(max_points=2048, block_capacity=64, touched_capacity=32,
+                    accumulate_impl="xla")
+    smap = ShardedTSDFMap(config=cfg, mesh=make_mesh(1))
+    pts = sphere_points(2048, r=2.0, seed=30)
+    smap.insert(pts, np.zeros(3, np.float32))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        smap.stats()
+    msgs = [str(r.message) for r in rec]
+    assert any("block_capacity" in m or "touched_capacity" in m
+               for m in msgs), msgs
