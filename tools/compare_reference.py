@@ -25,11 +25,19 @@ all FetchContent and there is no network), so the protocol is:
    mesh.  Pass criterion: RMSE below one codec quantum (trunc/127 ≈
    0.787 mm) plus half a voxel of marching-cubes placement freedom.
 
-While the artifact is absent this tool reports that and exits 0 (the
-committed self-generated golden, tests/golden/sphere_r2_seed420.npz, keeps
-regression coverage in the meantime — see mesh/rmse.py).
-``tests/test_mesh.py::test_reference_mesh_rmse`` auto-upgrades: it skips
-without the artifact and enforces the criterion when present.
+PROVENANCE of the committed artifact: ``tests/golden/reference_sphere.ply``
+was generated in-repo by ``tools/reference_oracle.py`` — an exact numpy
+re-derivation of the reference's insert semantics (descending Morton sort,
+greedy prefix-run normals incl. the normals.hpp:100 bound, f32
+Amanatides-Woo DDA with the reference's tie-breaks, truncating 8-bit
+codec; every rule cited to reference file:line), meshed with this build's
+marching cubes.  This is the sanctioned fallback while the true C++ build
+is unreachable (no network); a mesh.ply produced by steps 1-2 above is a
+drop-in replacement and should supersede the oracle artifact when
+available.  The oracle itself is differentially tested against the
+analytic sphere and this build's pipeline (tests/test_reference_oracle.py).
+``tests/test_mesh.py::test_reference_mesh_rmse`` enforces the RMSE
+criterion against whatever artifact is present.
 """
 
 import os
