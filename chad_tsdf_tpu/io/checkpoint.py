@@ -34,13 +34,21 @@ FORMAT_VERSION = 2
 
 def _active_state(m: TSDFMap):
     """The map's active state; a ShardedTSDFMap's shards are merged exactly
-    on the host, so sharded checkpoints are topology-independent."""
+    on the host, so sharded checkpoints are topology-independent.
+
+    The per-shard rows arrive via the in-graph all_gather extraction
+    (occupied rows only, replicated to every process), so this works in
+    multi-controller runs — every process computes the identical merged
+    state — and never ships full 256 MiB pool planes."""
     stack = getattr(m, "state_stack", None)
     if stack is not None:
-        from ..parallel.sharded import gather_states, merge_states_host
-        if int(np.asarray(stack.n_blocks).sum()) == 0:
+        from ..parallel.sharded import gather_states_global, \
+            merge_states_host
+        from ..parallel.sharded_map import _total_blocks
+        if int(np.asarray(_total_blocks(stack))) == 0:
             return None
-        return merge_states_host(gather_states(stack), m.config)
+        states = gather_states_global(stack, m.mesh, m.config, m.axis)
+        return merge_states_host(states, m.config)
     return m.state
 
 

@@ -455,7 +455,283 @@ def gather_states(state_stack) -> list[ActiveMapState]:
 
 def gather_states_device(state_stack) -> list[ActiveMapState]:
     """Per-shard state VIEWS with device-array leaves — no host transfer;
-    consumers (core.submap.finalize_sharded) fetch only what they need."""
+    consumers (core.submap.finalize_sharded) fetch only what they need.
+
+    Single-controller only: ``x[i]`` touches shards that are non-addressable
+    on remote processes.  Multi-controller paths use the in-graph
+    all_gather extraction below (start_finalize_sharded_global /
+    gather_states_global)."""
     n = state_stack.dir_keys.shape[0]
     return [jax.tree.map(lambda x, i=i: x[i], state_stack)
             for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Multi-controller-safe extraction (SURVEY §5.8; VERDICT r4 task 2)
+#
+# In multi-controller JAX a process may only read (a) fully-replicated
+# arrays and (b) its own addressable shards.  Rotation/save/checkpoint of a
+# ShardedTSDFMap therefore runs the per-shard extraction IN-GRAPH over the
+# mesh and all_gathers the (small) results to every device: each process
+# reads identical replicated outputs and runs the identical deterministic
+# host DAG build, so all processes hold the same submaps without any
+# host-side communication.  The same code runs single-controller unchanged.
+# ---------------------------------------------------------------------------
+
+_GLOBAL_STEP_CACHE: dict = {}
+
+
+def _mesh_key(mesh, axis: str):
+    return (tuple(d.id for d in mesh.devices.flat), axis)
+
+
+def _state_pspec(config: MapConfig, axis: str):
+    return jax.tree.map(lambda _: P(axis),
+                        jax.eval_shape(lambda: create_state(config)))
+
+
+def _fin_counters_step(config: MapConfig, mesh, axis: str):
+    """jit: state_stack -> ((n, 7) i32 replicated, (n, 3) i32 replicated).
+
+    Per shard: [n_blocks, live clusters, point/sample/block/touched/tile
+    overflow]; plus origin_blocks."""
+    key = ("cnt", config, _mesh_key(mesh, axis))
+    step = _GLOBAL_STEP_CACHE.get(key)
+    if step is not None:
+        return step
+    cb = config.block_capacity
+
+    def fn(stack):
+        st = jax.tree.map(lambda x: x[0], stack)
+        idx = jnp.arange(cb, dtype=jnp.int32)
+        valid = idx < st.n_blocks
+        idx_c = jnp.minimum(idx, jnp.maximum(st.n_blocks - 1, 0))
+        w = st.pool_w[st.dir_slots[idx_c]].reshape(cb, 64, 8)
+        ne = jnp.any((w > 0) & valid[:, None, None], -1)
+        vals = jnp.stack([st.n_blocks, jnp.sum(ne).astype(jnp.int32),
+                          st.point_overflow, st.sample_overflow,
+                          st.block_overflow, st.touched_overflow,
+                          st.tile_overflow])
+        return (jax.lax.all_gather(vals, axis),
+                jax.lax.all_gather(st.origin_blocks, axis))
+
+    step = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(_state_pspec(config, axis),),
+        out_specs=(P(), P()), check_vma=False))
+    _GLOBAL_STEP_CACHE[key] = step
+    return step
+
+
+def _fin_extract_step(config: MapConfig, mesh, axis: str, n_pad: int,
+                      cap: int):
+    """jit: state_stack -> ((n, L) u32 bufs replicated,
+    (n, n_pad) i32 dir keys replicated) with the uniform static
+    (n_pad, cap) bucket."""
+    from ..core import submap as submap_mod
+    key = ("ext", config, _mesh_key(mesh, axis), n_pad, cap)
+    step = _GLOBAL_STEP_CACHE.get(key)
+    if step is not None:
+        return step
+
+    def fn(stack):
+        st = jax.tree.map(lambda x: x[0], stack)
+        buf = submap_mod._extract_clusters_compact(st, n_pad, cap,
+                                                   config.sdf_trunc)
+        keys = st.dir_keys[:n_pad]
+        return (jax.lax.all_gather(buf, axis),
+                jax.lax.all_gather(keys, axis))
+
+    step = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(_state_pspec(config, axis),),
+        out_specs=(P(), P()), check_vma=False))
+    _GLOBAL_STEP_CACHE[key] = step
+    return step
+
+
+def _fin_dup_rows_step(config: MapConfig, mesh, axis: str, d_cap: int):
+    """jit: (state_stack, dup_keys (d_cap,) i32) -> replicated
+    ((n, d_cap, 512) sd, (n, d_cap, 512) w, (n, d_cap) found) — the raw
+    accumulator rows of blocks duplicated across shards, for the exact
+    pre-quantization merge."""
+    key = ("dup", config, _mesh_key(mesh, axis), d_cap)
+    step = _GLOBAL_STEP_CACHE.get(key)
+    if step is not None:
+        return step
+    cb = config.block_capacity
+
+    def fn(stack, dupk):
+        st = jax.tree.map(lambda x: x[0], stack)
+        pos = jnp.searchsorted(st.dir_keys, dupk).astype(jnp.int32)
+        pos_c = jnp.minimum(pos, cb - 1)
+        found = (st.dir_keys[pos_c] == dupk) & (dupk != INT32_MAX)
+        slots = st.dir_slots[pos_c]
+        sd = jnp.where(found[:, None], st.pool_sd[slots], 0.0)
+        w = jnp.where(found[:, None], st.pool_w[slots], 0.0)
+        return (jax.lax.all_gather(sd, axis),
+                jax.lax.all_gather(w, axis),
+                jax.lax.all_gather(found, axis))
+
+    step = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(_state_pspec(config, axis), P()),
+        out_specs=(P(), P(), P()), check_vma=False))
+    _GLOBAL_STEP_CACHE[key] = step
+    return step
+
+
+class _ReplicatedRows:
+    """Deferred host fetch of a replicated (n, ...) array, shared across
+    row references so the transfer happens once."""
+
+    def __init__(self, arr):
+        self.arr = arr
+        self._np = None
+
+    def row(self, i):
+        if self._np is None:
+            self._np = np.asarray(self.arr)
+        return self._np[i]
+
+
+class _RowRef:
+    """np.asarray-able reference to one row of a _ReplicatedRows."""
+
+    def __init__(self, rows: _ReplicatedRows, i: int):
+        self._rows = rows
+        self._i = i
+
+    def __array__(self, dtype=None, copy=None):
+        out = self._rows.row(self._i)
+        return out.astype(dtype) if dtype is not None else out
+
+    def copy_to_host_async(self):
+        try:
+            self._rows.arr.copy_to_host_async()
+        except Exception:   # pragma: no cover - no async backend
+            pass
+
+
+def _pow2(n: int) -> int:
+    return max(1, 1 << (max(n, 1) - 1).bit_length())
+
+
+def start_finalize_sharded_global(state_stack, mesh, config: MapConfig,
+                                  positions: list, anchor=None,
+                                  axis: str = "shard"):
+    """Multi-controller-safe (and single-controller-identical) deferred
+    sharded finalize: in-graph per-shard compaction + all_gather, so every
+    process reads the same replicated buffers and builds the same submap.
+    Returns a core.submap.PendingShardedSubmap."""
+    import warnings
+
+    from ..core import submap as submap_mod
+    from ..ops import morton as morton_ops
+
+    cnt_g, org_g = _fin_counters_step(config, mesh, axis)(state_stack)
+    cnt = np.asarray(cnt_g)
+    origin = np.asarray(org_g)[0]
+    nbs, counts = cnt[:, 0], cnt[:, 1]
+    ovf_tot = {}
+    for name, col in zip(("point_overflow", "sample_overflow",
+                          "block_overflow", "touched_overflow"),
+                         cnt[:, 2:6].T):
+        if int(col.sum()) > 0:
+            ovf_tot[name] = int(col.sum())
+    if ovf_tot:
+        warnings.warn(
+            f"sharded map capacity overflow — dropped data: {ovf_tot}; "
+            "raise the corresponding MapConfig capacities "
+            "(block_capacity/touched_capacity/max_points) or shrink the "
+            "scan extent", RuntimeWarning, stacklevel=3)
+
+    live = [i for i in range(len(nbs)) if nbs[i] > 0 and counts[i] > 0]
+    if not live:
+        return submap_mod.PendingShardedSubmap(
+            [], np.zeros(0, np.uint64), None, origin, list(positions),
+            anchor)
+
+    n_pad = _pow2(int(nbs.max()))
+    cap = submap_mod.cap_bucket(int(counts.max()))
+    bufs_g, keys_g = _fin_extract_step(config, mesh, axis, n_pad,
+                                       cap)(state_stack)
+    keys_np = np.asarray(keys_g)
+
+    wb_dup = np.zeros(0, np.uint64)
+    dup_clusters = None
+    if len(live) > 1:
+        all_keys = np.concatenate([keys_np[i, :nbs[i]] for i in live])
+        uk, kcounts = np.unique(all_keys, return_counts=True)
+        dup = uk[kcounts > 1]
+        if dup.size:
+            wb_dup = morton_ops.np_block_key_to_world63(
+                dup, origin, config.block_bits)
+            d_cap = _pow2(int(dup.size))
+            dupk = np.full(d_cap, INT32_MAX, np.int32)
+            dupk[:dup.size] = dup
+            sd_g, w_g, found_g = _fin_dup_rows_step(
+                config, mesh, axis, d_cap)(state_stack, dupk)
+            sd_sum = np.asarray(sd_g).sum(axis=0)[:dup.size]
+            w_sum = np.asarray(w_g).sum(axis=0)[:dup.size]
+            dup_clusters = submap_mod._quantize_pack_rows(
+                wb_dup, sd_sum, w_sum, config)
+
+    rows = _ReplicatedRows(bufs_g)
+    shards = [(_RowRef(rows, i), n_pad, cap, int(counts[i])) for i in live]
+    return submap_mod.PendingShardedSubmap(
+        shards, wb_dup, dup_clusters, origin, list(positions), anchor)
+
+
+def _ckpt_rows_step(config: MapConfig, mesh, axis: str, knb: int):
+    """jit: state_stack -> replicated ((n, knb) keys, (n, knb, 512) sd,
+    (n, knb, 512) w) — each shard's occupied pool rows in directory
+    order, for topology-elastic checkpointing without full-pool gathers."""
+    key = ("ckpt", config, _mesh_key(mesh, axis), knb)
+    step = _GLOBAL_STEP_CACHE.get(key)
+    if step is not None:
+        return step
+
+    def fn(stack):
+        st = jax.tree.map(lambda x: x[0], stack)
+        keys = st.dir_keys[:knb]
+        slots = st.dir_slots[:knb]
+        return (jax.lax.all_gather(keys, axis),
+                jax.lax.all_gather(st.pool_sd[slots], axis),
+                jax.lax.all_gather(st.pool_w[slots], axis))
+
+    step = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(_state_pspec(config, axis),),
+        out_specs=(P(), P(), P()), check_vma=False))
+    _GLOBAL_STEP_CACHE[key] = step
+    return step
+
+
+def gather_states_global(state_stack, mesh, config: MapConfig,
+                         axis: str = "shard") -> list:
+    """Host-side per-shard states (occupied rows only), built from
+    replicated in-graph gathers — the multi-controller-safe (and
+    transfer-frugal) replacement for ``gather_states`` in
+    checkpointing.  Results feed :func:`merge_states_host` unchanged."""
+    import types
+
+    cnt_g, org_g = _fin_counters_step(config, mesh, axis)(state_stack)
+    cnt = np.asarray(cnt_g)
+    origin = np.asarray(org_g)[0]
+    nbs = cnt[:, 0]
+    knb = _pow2(int(max(nbs.max(), 1)))
+    keys_g, sd_g, w_g = _ckpt_rows_step(config, mesh, axis,
+                                        knb)(state_stack)
+    keys_np, sd_np, w_np = (np.asarray(keys_g), np.asarray(sd_g),
+                            np.asarray(w_g))
+    out = []
+    for i in range(len(nbs)):
+        nb = int(nbs[i])
+        out.append(types.SimpleNamespace(
+            n_blocks=nb,
+            dir_keys=keys_np[i],
+            dir_slots=np.arange(knb, dtype=np.int32),
+            pool_sd=sd_np[i],
+            pool_w=w_np[i],
+            origin_blocks=origin,
+            point_overflow=int(cnt[i, 2]), sample_overflow=int(cnt[i, 3]),
+            block_overflow=int(cnt[i, 4]), touched_overflow=int(cnt[i, 5]),
+            tile_overflow=int(cnt[i, 6])))
+    return out

@@ -12,6 +12,15 @@ rest of the single-device API are inherited unchanged from TSDFMap.
 
 This is SURVEY §7 steps 5-6: sharded insert -> rotation -> sharded finalize
 -> mesh, one object.
+
+Multi-controller: the same object runs across OS processes/hosts
+(jax.distributed).  ``insert`` routes the (identically computed) split
+through ``global_shard_array``; rotation/save/checkpoint use the in-graph
+all_gather extraction (``parallel.sharded.start_finalize_sharded_global``),
+so every process reads replicated buffers and deterministically builds the
+identical submap DAG — proven by tests/test_distributed.py (2 processes x
+4 devices, gloo), whose map digest matches a single-process run
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -35,6 +44,15 @@ from . import sharded
 # 65 s per fresh instance on the remote-TPU link even with a warm
 # persistent compile cache
 _STEP_CACHE: dict = {}
+
+
+@jax.jit
+def _total_blocks(state_stack):
+    """Shard-summed active block count — jitted so it is legal on a
+    multi-controller global array (eager ``.sum()`` would touch
+    non-addressable shards)."""
+    import jax.numpy as jnp
+    return jnp.sum(state_stack.n_blocks)
 
 
 @jax.jit
@@ -137,6 +155,18 @@ class ShardedTSDFMap(TSDFMap):
             if self.config.packed_ingest:
                 padded = integrate.pack_points(padded, position,
                                                self.config.sdf_res)
+            if jax.process_count() > 1:
+                # multi-controller: sharded jit inputs must be global
+                # jax.Arrays — every process computes the identical full
+                # split and contributes its addressable shards
+                # (parallel/distributed.py)
+                from jax.sharding import PartitionSpec as P
+
+                from . import distributed
+                padded = distributed.global_shard_array(
+                    padded, self.mesh, P(self.axis))
+                n_per = distributed.global_shard_array(
+                    n_per, self.mesh, P(self.axis))
             self.state_stack, metrics = self._step_for(bucket, impl)(
                 self.state_stack, padded, n_per, position)
             for k, v in metrics.items():
@@ -170,9 +200,9 @@ class ShardedTSDFMap(TSDFMap):
         drain point — a synchronous ``finalize_sharded`` stalls the stream
         1-2 s per rotation on a thin host link, exactly the stall the
         single-device path eliminated with ``PendingSubmap``."""
-        p = submap_mod.start_finalize_sharded(
-            sharded.gather_states_device(self.state_stack), self.config,
-            self._positions, anchor=self._anchor_from(self._positions))
+        p = sharded.start_finalize_sharded_global(
+            self.state_stack, self.mesh, self.config, self._positions,
+            anchor=self._anchor_from(self._positions), axis=self.axis)
         self._pending.append(p)
         while len(self._pending) > self.config.max_pending_finalize:
             self.submaps.append(
@@ -182,14 +212,16 @@ class ShardedTSDFMap(TSDFMap):
         self._drain_pending()
         out = list(self.submaps)
         if self.state_stack is not None and \
-                int(self.state_stack.n_blocks.sum()) > 0:
+                int(np.asarray(_total_blocks(self.state_stack))) > 0:
             if self._active_snapshot is None:
                 scratch = dag.NodeLevels()
-                sm = submap_mod.finalize_sharded(
-                    sharded.gather_states_device(self.state_stack),
-                    scratch, self.config, self._positions)
+                p = sharded.start_finalize_sharded_global(
+                    self.state_stack, self.mesh, self.config,
+                    self._positions,
+                    anchor=self._anchor_from(self._positions),
+                    axis=self.axis)
+                sm = p.finish(scratch, self.config)
                 sm.levels = scratch
-                sm.anchor = self._anchor_from(self._positions)
                 self._active_snapshot = sm
             out.append(self._active_snapshot)
         return out
@@ -234,7 +266,7 @@ class ShardedTSDFMap(TSDFMap):
         s["n_shards"] = self.n_shards
         if self.state_stack is not None:
             st = self.state_stack
-            s["active_blocks"] = int(np.asarray(st.n_blocks).sum())
+            s["active_blocks"] = int(np.asarray(_total_blocks(st)))
             ovf = self._stacked_overflow()
             s["overflow"] = {
                 "points": ovf["point_overflow"],

@@ -97,6 +97,49 @@ def main():
     print("DIST_OK " + json.dumps({"pid": pid, **metrics,
                                    "w_total": w_total}), flush=True)
 
+    # ---- phase 2: the user-facing ShardedTSDFMap lifecycle across the
+    # 2-process mesh (VERDICT r4 task 2): insert -> rotation (deferred,
+    # in-graph all_gather extraction) -> save -> checkpoint.  Every
+    # process must build the IDENTICAL map; the parent test also checks
+    # the digest against a single-process run of the same stream.
+    import hashlib
+    import os
+
+    from chad_tsdf_tpu.io.checkpoint import save_checkpoint
+    from chad_tsdf_tpu.parallel import ShardedTSDFMap
+
+    def sphere(n, r, seed, centre):
+        g = np.random.default_rng(seed)
+        dd = g.normal(size=(n, 3))
+        dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+        return (np.float32(centre) + dd * r).astype(np.float32)
+
+    m = ShardedTSDFMap(config=cfg, mesh=mesh)
+    m.insert(sphere(2048, 1.5, 100, (0, 0, 0)), np.zeros(3, np.float32))
+    m.insert(sphere(2048, 1.5, 101, (8, 0, 0)), np.float32([8, 0, 1.7]))
+    assert len(m._pending) == 1, "rotation must be deferred"
+
+    ply_path = f"/tmp/dist_mesh_p{pid}.ply"
+    m.save(ply_path)
+    assert len(m.submaps) == 1, m.n_submaps
+    codes, sd = m.voxel_samples()
+    digest = hashlib.sha256(codes.tobytes() + sd.tobytes()).hexdigest()
+
+    ckpt_path = f"/tmp/dist_ckpt_p{pid}.npz"
+    save_checkpoint(ckpt_path, m)
+    z = np.load(ckpt_path, allow_pickle=False)
+    ck_digest = hashlib.sha256(
+        z["active_dir_keys"].tobytes() + z["active_pool_sd"].tobytes() +
+        z["active_pool_w"].tobytes()).hexdigest()
+
+    st = m.stats()
+    print("LIFECYCLE_OK " + json.dumps({
+        "pid": pid, "digest": digest, "ck_digest": ck_digest,
+        "n_submaps": st["n_submaps"], "n_voxels": int(len(codes)),
+        "mesh_bytes": os.path.getsize(ply_path),
+        "route_overflow": int(m.last_metrics.get("route_overflow", 0)),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -45,3 +45,43 @@ def test_two_process_sharded_insert():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
         assert "DIST_OK" in out, f"process {pid} output:\n{out[-4000:]}"
+        assert "LIFECYCLE_OK" in out, f"process {pid} output:\n{out[-4000:]}"
+
+    # every process must have built the IDENTICAL map (same voxel samples,
+    # same merged checkpoint state)
+    import json
+
+    recs = [json.loads(out.split("LIFECYCLE_OK ", 1)[1].splitlines()[0])
+            for out in outs]
+    assert recs[0]["digest"] == recs[1]["digest"], recs
+    assert recs[0]["ck_digest"] == recs[1]["ck_digest"], recs
+    assert recs[0]["n_submaps"] == 1 and recs[0]["route_overflow"] == 0
+
+    # ... and match a single-process run of the same stream bit-for-bit
+    import hashlib
+
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) >= 8:
+        from chad_tsdf_tpu.config import MapConfig
+        from chad_tsdf_tpu.parallel import ShardedTSDFMap, make_mesh
+
+        def sphere(n, r, seed, centre):
+            g = np.random.default_rng(seed)
+            dd = g.normal(size=(n, 3))
+            dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+            return (np.float32(centre) + dd * r).astype(np.float32)
+
+        cfg = MapConfig(max_points=512, block_capacity=4096,
+                        touched_capacity=2048, accumulate_impl="xla")
+        m = ShardedTSDFMap(config=cfg, mesh=make_mesh(8))
+        m.insert(sphere(2048, 1.5, 100, (0, 0, 0)),
+                 np.zeros(3, np.float32))
+        m.insert(sphere(2048, 1.5, 101, (8, 0, 0)),
+                 np.float32([8, 0, 1.7]))
+        m._drain_pending()
+        codes, sd = m.voxel_samples()
+        digest = hashlib.sha256(codes.tobytes() + sd.tobytes()).hexdigest()
+        assert digest == recs[0]["digest"], \
+            "2-process map differs from the single-process oracle"
