@@ -525,7 +525,8 @@ class TSDFMap:
             self.submaps.append(new_sm)
 
     def optimize_loop_closures(self, loop_edges=(), iterations: int = 20,
-                               damping: float = 1e-6, mesh=None) -> dict:
+                               damping: float = 1e-6, mesh=None,
+                               huber_delta: float = 1.0) -> dict:
         """Pose-graph loop closure over finalized submaps — the reference's
         roadmap item (README.md:59; declared surface tsdf.hpp:158-161).
 
@@ -560,7 +561,7 @@ class TSDFMap:
                                 np.asarray(z, np.float32), float(w))
         poses_opt, stats = pg.optimize_poses(
             graph, anchors.astype(np.float32), iterations=iterations,
-            damping=damping, mesh=mesh)
+            damping=damping, mesh=mesh, huber_delta=huber_delta)
         for sm, a, p in zip(subs, anchors, poses_opt):
             corr = p.astype(np.float64) @ np.linalg.inv(a)
             sm.corrected = None if np.allclose(corr, np.eye(4), atol=1e-7) \

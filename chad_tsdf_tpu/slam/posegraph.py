@@ -142,21 +142,55 @@ def _edge_residual(xi_i, xi_j, base_i, base_j, z_inv):
 _edge_jac = jax.jacfwd(_edge_residual, argnums=(0, 1))
 
 
-def _edge_blocks(base_i, base_j, z_inv, w):
+def _edge_blocks(base_i, base_j, z_inv, w, huber_delta=0.0,
+                 mode: str = "huber"):
     """Per-edge normal-equation blocks at xi = 0.
 
-    Returns (r (6,), Ji (6,6), Jj (6,6)) scaled by sqrt(w)."""
+    Returns (r (6,), Ji (6,6), Jj (6,6)) scaled by sqrt(w) times the
+    robust scale of the selected kernel:
+
+    ``dcs`` (Dynamic Covariance Scaling, Agarwal et al. 2013): residual
+    scale ``s = min(1, 2*phi / (phi + w*||r||^2))`` with ``phi =
+    huber_delta^2`` — REDESCENDING: a grossly wrong constraint's pull
+    ~ 1/||r||^3 -> 0, so it never gains the leverage to bend a floppy
+    odometry chain (a convex kernel like Huber gets absorbed instead —
+    measured on the circle+outlier problem in
+    tests/test_posegraph.py::test_outlier_loop_edge_is_rejected).
+    ``huber``: residual scale sqrt(min(1, d/||r||)) — convex, bounded
+    influence.
+    ``quad``: plain least squares.
+
+    ``huber_delta <= 0`` disables robustification in any mode."""
     zero = jnp.zeros(6)
     r = _edge_residual(zero, zero, base_i, base_j, z_inv)
     ji, jj = _edge_jac(zero, zero, base_i, base_j, z_inv)
-    sw = jnp.sqrt(w)
+    hd = jnp.asarray(huber_delta, jnp.float32)
+    if mode == "quad":
+        scale = jnp.float32(1.0)
+    elif mode == "dcs":
+        phi = hd * hd
+        chi2 = w * jnp.sum(r * r)
+        scale = jnp.minimum(1.0, 2.0 * phi / (phi + chi2 + 1e-32))
+    elif mode == "huber":
+        rn = jnp.sqrt(jnp.sum(r * r) + 1e-32)
+        scale = jnp.sqrt(jnp.minimum(1.0, hd / rn))
+    else:
+        raise ValueError(f"bad robust mode {mode!r}")
+    sw = jnp.sqrt(w) * jnp.where(hd > 0, scale, 1.0)
     return r * sw, ji * sw, jj * sw
 
 
-def _accumulate_normal_eq(poses, edges, z_inv, weights, valid, n_nodes):
-    """Dense H (6N, 6N) and b (6N,) from all edges (vmapped)."""
+def _accumulate_normal_eq(poses, edges, z_inv, weights, valid, n_nodes,
+                          huber_delta=0.0, mode: str = "huber"):
+    """Dense H (6N, 6N) and b (6N,) from all edges (vmapped).
+
+    Dense-H ceiling: H is (6N)^2 — fine to several hundred submaps
+    (N=500: 3000^2 f32 = 36 MB, ms-scale solve), far beyond the submap
+    counts a 5 m rotation policy produces per mission; beyond ~1000 nodes
+    move to a sparse/Schur solve."""
     r, ji, jj = jax.vmap(
-        lambda e, zi, w: _edge_blocks(poses[e[0]], poses[e[1]], zi, w)
+        lambda e, zi, w: _edge_blocks(poses[e[0]], poses[e[1]], zi, w,
+                                      huber_delta, mode)
     )(edges, z_inv, weights)
     m = valid.astype(jnp.float32)
     r = r * m[:, None]
@@ -197,8 +231,22 @@ def _accumulate_normal_eq(poses, edges, z_inv, weights, valid, n_nodes):
 
 def optimize_poses(graph: PoseGraph, init_poses: np.ndarray,
                    iterations: int = 10, damping: float = 1e-6,
-                   mesh=None, axis: str = "shard"):
+                   mesh=None, axis: str = "shard",
+                   huber_delta: float = 1.0):
     """Gauss-Newton/LM over the pose graph; node 0 is gauge-fixed.
+
+    Edges are robustified by default (``huber_delta`` = expected inlier
+    residual scale in se(3) tangent units; set 0 for the plain quadratic)
+    with a two-phase schedule: the first half of the iterations runs the
+    redescending DCS kernel (a gross outlier's pull vanishes, so it never
+    bends the trajectory, while inlier loop closures re-engage as their
+    residuals shrink), then edges whose residual norm still exceeds
+    ``3 * huber_delta`` are GATED OUT (chi^2 rejection) and the remaining
+    iterations re-optimize the surviving edges quadratically.  A grossly
+    wrong loop-closure constraint (the norm in real place recognition) is
+    thus switched off instead of dragging the trajectory
+    (tests/test_posegraph.py::test_outlier_loop_edge_is_rejected);
+    ``stats["gated_edges"]`` reports how many were rejected.
 
     With ``mesh`` given, edges are sharded over the mesh axis and each
     shard contributes its partial H/b via ``psum`` (the distributed
@@ -225,28 +273,65 @@ def optimize_poses(graph: PoseGraph, init_poses: np.ndarray,
         w_p = jnp.pad(weights, (0, pad))
         valid = (jnp.arange(e + pad) < e)
 
-        def shard_acc(poses, edges_s, zinv_s, w_s, valid_s):
-            H, b, cost = _accumulate_normal_eq(poses, edges_s, zinv_s, w_s,
-                                               valid_s, n)
-            return (jax.lax.psum(H, axis), jax.lax.psum(b, axis),
-                    jax.lax.psum(cost, axis))
+        def make_acc(mode):
+            def shard_acc(poses, edges_s, zinv_s, w_s, valid_s):
+                H, b, cost = _accumulate_normal_eq(
+                    poses, edges_s, zinv_s, w_s, valid_s, n, huber_delta,
+                    mode)
+                return (jax.lax.psum(H, axis), jax.lax.psum(b, axis),
+                        jax.lax.psum(cost, axis))
 
-        acc = jax.jit(jax.shard_map(
-            shard_acc, mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(), P(), P()), check_vma=False))
-        accumulate = lambda p: acc(p, edges_p, zinv_p, w_p, valid)
+            acc = jax.jit(jax.shard_map(
+                shard_acc, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(), P(), P()), check_vma=False),
+                donate_argnums=())
+            return lambda p, w: acc(p, edges_p, zinv_p, w, valid)
+
+        weights_run = w_p
     else:
         valid = jnp.ones(e, bool)
-        accumulate = jax.jit(lambda p: _accumulate_normal_eq(
-            p, edges, z_inv, weights, valid, n))
+
+        def make_acc(mode):
+            return jax.jit(lambda p, w: _accumulate_normal_eq(
+                p, edges, z_inv, w, valid, n, huber_delta, mode))
+
+        weights_run = weights
+
+    if huber_delta > 0:
+        modes = ["dcs"] * ((iterations + 1) // 2)
+        modes += ["quad"] * (iterations - len(modes))
+    else:
+        modes = ["quad"] * iterations
+    acc_cache = {m: make_acc(m) for m in (set(modes) | {"quad"})}
+    accumulate = acc_cache[modes[0] if modes else "quad"]
+
+    res_norms = jax.jit(lambda p: jnp.sqrt(jnp.sum(jax.vmap(
+        lambda ee, zi: _edge_residual(jnp.zeros(6), jnp.zeros(6),
+                                      p[ee[0]], p[ee[1]], zi)
+    )(edges, z_inv) ** 2, axis=1)))
 
     apply_fn = jax.jit(lambda p, dx: jax.vmap(
         lambda T, x: T @ se3_exp(x))(p, dx.reshape(n, 6)))
 
     costs = []
-    for _ in range(iterations):
-        H, b, cost = accumulate(poses)
+    gated = 0
+    init_poses_j = poses
+    for it in range(iterations):
+        if (huber_delta > 0 and modes[it] == "quad" and
+                (it == 0 or modes[it - 1] == "dcs")):
+            # phase boundary: chi^2 gate — edges the Huber phase could not
+            # bring near consistency are outliers; drop them for the
+            # quadratic refinement
+            rn = np.asarray(res_norms(poses))
+            gate = rn > 3.0 * huber_delta
+            gated = int(gate.sum())
+            if gated:
+                wh = np.asarray(weights_run).copy()
+                wh[:e] = np.where(gate, 0.0, np.asarray(weights))
+                weights_run = jnp.asarray(wh)
+        accumulate = acc_cache[modes[it]]
+        H, b, cost = accumulate(poses, weights_run)
         costs.append(float(cost))
         # gauge fix: clamp node 0 by lifting its diagonal block
         gauge = jnp.zeros(6 * n).at[:6].set(1e12)
@@ -255,8 +340,14 @@ def optimize_poses(graph: PoseGraph, init_poses: np.ndarray,
         poses = apply_fn(poses, dx)
         if costs[-1] < 1e-18:
             break
-    H, b, final_cost = accumulate(poses)
+    # report costs on one consistent scale — the plain weighted quadratic
+    # over the SURVIVING (non-gated) edges at the initial and final poses
+    # (per-iteration robust costs are not comparable across kernel phases)
+    quad_acc = acc_cache["quad"]
+    _, _, init_cost = quad_acc(init_poses_j, weights_run)
+    _, _, final_cost = quad_acc(poses, weights_run)
     return (np.asarray(poses),
-            {"initial_cost": costs[0] if costs else float(final_cost),
+            {"initial_cost": float(init_cost),
              "final_cost": float(final_cost),
-             "iterations": len(costs)})
+             "iterations": len(costs),
+             "gated_edges": gated})

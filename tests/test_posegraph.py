@@ -88,3 +88,35 @@ def test_distributed_reduction_matches_single():
     np.testing.assert_allclose(opt8, opt1, rtol=1e-3, atol=1e-4)
     assert abs(s8["final_cost"] - s1["final_cost"]) <= \
         1e-3 * max(1.0, s1["final_cost"])
+
+
+def test_outlier_loop_edge_is_rejected():
+    """One grossly wrong loop-closure constraint (the norm in real place
+    recognition) must not corrupt the trajectory: Huber IRLS bounds its
+    influence, and the result stays close to the outlier-free solution
+    (VERDICT r4 task 6)."""
+    gt, graph, init = _drifted_problem(seed=5)
+    opt_clean, _ = optimize_poses(graph, init, iterations=20)
+
+    # a wildly wrong loop edge: claims node 8 sits at node 2's pose
+    # shifted 15 m — totally inconsistent with the circle
+    bad_z = np.eye(4, dtype=np.float32)
+    bad_z[:3, 3] = [15.0, -7.0, 3.0]
+    graph_bad = add_edge(graph, 2, 8, bad_z, weight=1.0)
+
+    opt_rob, stats = optimize_poses(graph_bad, init, iterations=20,
+                                    huber_delta=1.0)
+    assert stats["gated_edges"] == 1, stats      # exactly the bad edge
+    err_rob = np.linalg.norm(opt_rob[:, :3, 3] - opt_clean[:, :3, 3],
+                             axis=1)
+    # robust solution within ~10 cm of the outlier-free one everywhere
+    assert err_rob.max() < 0.1, err_rob.max()
+    assert np.isfinite(opt_rob).all()
+
+    # contrast: the plain quadratic IS corrupted by the same edge —
+    # the robustness is doing real work, not riding a benign outlier
+    opt_quad, _ = optimize_poses(graph_bad, init, iterations=20,
+                                 huber_delta=0.0)
+    err_quad = np.linalg.norm(opt_quad[:, :3, 3] - opt_clean[:, :3, 3],
+                              axis=1)
+    assert err_quad.max() > 10 * err_rob.max()
