@@ -501,17 +501,38 @@ class TSDFMap:
         """March a ray through the map; returns the first zero-crossing hit
         position or None — the reference's declared-but-unbuilt raycast
         (tsdf.hpp:158-161).  The sorted query index is cached, so repeated
-        raycasts on an unchanged map cost one searchsorted each."""
+        raycasts on an unchanged map cost one searchsorted each.
+
+        EXACT voxel coverage: instead of fixed-step sampling (which can
+        step across a thin surface at glancing incidence), every
+        grid-plane crossing along the ray is enumerated — the vectorized
+        equivalent of the Amanatides-Woo walk the integrator uses
+        (ops/dda.py; octree.hpp:92-152) — so no voxel the ray passes
+        through is ever skipped."""
         codes, sd = self._sorted_samples()
         if codes.shape[0] == 0:
             return None
         origin = np.asarray(origin, np.float64)
         direction = np.asarray(direction, np.float64)
         direction = direction / np.linalg.norm(direction)
-        step = self.config.sdf_res * 0.5
-        t = np.arange(0.0, max_dist, step)
-        pts = origin[None, :] + t[:, None] * direction[None, :]
-        vox = np.floor(pts / self.config.sdf_res).astype(np.int32)
+        res = float(self.config.sdf_res)
+
+        # all grid-plane crossing parameters t in (0, max_dist), per axis
+        ts = [np.asarray([0.0, max_dist])]
+        for k in range(3):
+            dk = direction[k]
+            if dk == 0.0:
+                continue
+            lo = origin[k] + min(0.0, dk * max_dist)
+            hi = origin[k] + max(0.0, dk * max_dist)
+            planes = np.arange(np.ceil(lo / res), np.floor(hi / res) + 1)
+            tk = (planes * res - origin[k]) / dk
+            ts.append(tk[(tk > 0.0) & (tk < max_dist)])
+        t_all = np.sort(np.concatenate(ts))
+        # midpoints of consecutive crossings are strictly inside one voxel
+        mid = (t_all[:-1] + t_all[1:]) * 0.5
+        pts = origin[None, :] + mid[:, None] * direction[None, :]
+        vox = np.floor(pts / res).astype(np.int32)
         qc = morton.np_encode63(vox)
         pos = np.minimum(np.searchsorted(codes, qc), codes.shape[0] - 1)
         hitm = codes[pos] == qc
@@ -523,7 +544,7 @@ class TSDFMap:
         i = crossings[0]
         a, b = vals[i], vals[i + 1]
         frac = a / (a - b) if a != b else 0.5
-        return origin + (t[i] + frac * step) * direction
+        return origin + (mid[i] + frac * (mid[i + 1] - mid[i])) * direction
 
     def merge(self, other: "TSDFMap") -> None:
         """Merge another map's finalized submaps into this one — the

@@ -300,3 +300,22 @@ def test_short_lived_map_warns_on_overflow_at_del():
     msgs = [str(r.message) for r in rec]
     assert any("block_capacity" in s or "touched_capacity" in s
                for s in msgs), msgs
+
+
+def test_raycast_glancing_incidence():
+    """A near-grazing ray over a flat surface must not step across it:
+    the exact grid-crossing walk visits every voxel the ray passes
+    through (the old fixed res/2 stepping could skip the sign change)."""
+    m = TSDFMap(config=MapConfig(**SMALL))
+    rng = np.random.default_rng(4)
+    # dense flat floor at z=0, scanned from above
+    xy = rng.uniform(-2.0, 2.0, (20000, 2)).astype(np.float32)
+    pts = np.concatenate([xy, np.zeros((len(xy), 1), np.float32)], axis=1)
+    m.insert(pts, np.float32([0.0, 0.0, 3.0]))
+
+    # grazing ray: starts just above the floor, descends 1:40
+    origin = np.float64([-1.8, 0.0, 0.08])
+    direction = np.float64([1.0, 0.0, -0.025])
+    hit = m.raycast(origin, direction, max_dist=8.0)
+    assert hit is not None
+    assert abs(hit[2]) < 2 * m.config.sdf_res, hit
