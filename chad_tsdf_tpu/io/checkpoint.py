@@ -184,6 +184,11 @@ def load_checkpoint(path: str, mesh=None) -> TSDFMap:
     sm._positions = m._positions
     if m.state is not None:
         sm.state_stack = shard_state_host(m.state, mesh, config)
+        sm._origin = np.asarray(m.state.origin_blocks)
+        # shard_state_host partitions by the static uniform bounds —
+        # further inserts must route with the SAME ownership map
+        from ..parallel.sharded import key_bounds
+        sm._bounds = key_bounds(int(mesh.devices.size), config)
     return sm
 
 

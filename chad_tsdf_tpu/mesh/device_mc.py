@@ -9,16 +9,22 @@ in numpy).  This module moves the heavy part onto the device:
   Morton codes nest, so ``block_code = voxel_code >> 9`` and the offset is
   the low 9 bits — and build each block's (2,2,2) neighbour index table
   with one searchsorted over the unique block codes;
-* device (one jit): scatter samples into dense (B, 512) block grids, gather
-  every block's 9x9x9 corner lattice from its neighbours, classify the 8^3
-  cells (complete-cell rule: all 8 corners sampled — lvr2.cpp:115-129),
-  compact active cells by cumsum-rank scatter, gather the 256-case
-  triangle table, and interpolate the 12 edge vertices per active cell;
+* device pass 1 (one jit): scatter samples into dense (B, 512) block
+  grids, gather every block's 9x9x9 corner lattice from its neighbours,
+  classify the 8^3 cells (complete-cell rule: all 8 corners sampled —
+  lvr2.cpp:115-129) and COUNT active cells and triangles — so pass 2
+  compiles against exact pow2 capacities instead of a worst case;
+* device pass 2 (one jit): compact active cells by cumsum-rank scatter,
+  gather the 256-case triangle table, interpolate the 12 edge vertices,
+  and compact the triangle soup so only live triangles transfer;
 * host weld: identical canonical (min-corner voxel, axis) edge keys as
   mesh/mc.py, so the device mesh welds into the same watertight surface.
 
-The active-cell capacity is a compile-time constant; the wrapper doubles it
-and retries on overflow (counted, never silent).
+Map-scale layout rule (learned the hard way — a 6.4M-voxel save OOM'd the
+16 GiB HBM at compile time): every large array keeps the big axis LAST.
+TPU tiles pad the two minor dims to (8, 128), so an (N, 5, 3) layout
+costs ~40x its logical bytes at N in the millions; the kernel is
+structure-of-arrays ((12, C), (15, C), (3, T)) throughout.
 """
 
 from __future__ import annotations
@@ -59,20 +65,14 @@ _E0, _E1 = EDGES[:, 0], EDGES[:, 1]
 _ELO = np.minimum(CORNERS[_E0], CORNERS[_E1]).astype(np.int32)   # (12, 3)
 _EAXIS = np.argmax(np.abs(CORNERS[_E0] - CORNERS[_E1]),
                    axis=1).astype(np.int32)
+# triangles per MC case, and the (15, 256) transposed triangle table
+_TRI15_T = np.ascontiguousarray(TRI_TABLE[:, :15].T.astype(np.int32))
+_TRI_N = (TRI_TABLE[:, :15:3] >= 0).sum(1).astype(np.int32)      # (256,)
 
 
-@functools.partial(jax.jit, static_argnames=("cell_cap",))
-def _mesh_blocks(sample_block, sample_off, sample_sd, n_samples,
-                 nb_idx, block_coords, iso, cell_cap: int):
-    """Dense per-block MC over scattered samples.
-
-    sample_block/off/sd: (M,) sample -> block row / 9-bit offset / sd.
-    nb_idx: (B, 8) neighbour rows into B+1 (sentinel = B).
-    block_coords: (B, 3) int32 world block coords.
-    Returns (tri_valid (T5,), tri_pos (T5, 3, 3) f32 voxel units,
-    tri_lo (T5, 3, 3) i32 world voxel of each vertex's edge min corner,
-    tri_axis (T5, 3) i32, n_active, overflow) with T5 = cell_cap * 5.
-    """
+def _classify(sample_block, sample_off, sample_sd, n_samples, nb_idx, iso):
+    """Shared grids: returns (case (B,512) i32, active (B,512) bool,
+    corner sd planes [8 x (B,512) f32])."""
     b = nb_idx.shape[0]
     m = sample_block.shape[0]
     valid_s = jnp.arange(m) < n_samples
@@ -87,17 +87,50 @@ def _mesh_blocks(sample_block, sample_off, sample_sd, n_samples,
     g_sd = sd_grid[rows9, off9]                           # (B, 729)
     g_ok = w_grid[rows9, off9]
 
-    corner_sd = g_sd[:, jnp.asarray(_CORNER_G)]           # (B, 512, 8)
-    corner_ok = g_ok[:, jnp.asarray(_CORNER_G)].all(-1)   # (B, 512)
-    inside = (corner_sd < iso).astype(jnp.int32)
-    case = (inside << jnp.arange(8, dtype=jnp.int32)).sum(-1)
-    active = corner_ok & (case != 0) & (case != 255)
+    case = jnp.zeros((b, 512), jnp.int32)
+    ok = jnp.ones((b, 512), jnp.bool_)
+    planes = []
+    for ci in range(8):
+        sel = jnp.asarray(_CORNER_G[:, ci])
+        csd = g_sd[:, sel]                                # (B, 512)
+        ok = ok & g_ok[:, sel]
+        case = case | ((csd < iso).astype(jnp.int32) << ci)
+        planes.append(csd)
+    active = ok & (case != 0) & (case != 255)
+    return case, active, planes
+
+
+@jax.jit
+def _count_active(sample_block, sample_off, sample_sd, n_samples, nb_idx,
+                  iso):
+    """Pass 1: exact (n_active_cells, n_triangles) for capacity sizing."""
+    case, active, _ = _classify(sample_block, sample_off, sample_sd,
+                                n_samples, nb_idx, iso)
+    n_active = jnp.sum(active.astype(jnp.int32))
+    n_tris = jnp.sum(jnp.where(active, jnp.asarray(_TRI_N)[case], 0))
+    return n_active, n_tris
+
+
+@functools.partial(jax.jit, static_argnames=("cell_cap", "tri_cap"))
+def _mesh_blocks(sample_block, sample_off, sample_sd, n_samples,
+                 nb_idx, bc_x, bc_y, bc_z, iso, cell_cap: int,
+                 tri_cap: int):
+    """Pass 2: dense per-block MC over scattered samples, SoA layout.
+
+    Returns (pos[axis] (3, T) f32 voxel units, lo[axis] (3, T) i32 world
+    voxel of each vertex's edge min corner, vaxis (3, T) i32,
+    n_tris, cell_overflow, tri_overflow); live triangles are the prefix
+    [:n_tris] of the T = tri_cap axis.
+    """
+    b = nb_idx.shape[0]
+    case, active, planes = _classify(sample_block, sample_off, sample_sd,
+                                     n_samples, nb_idx, iso)
 
     # ---- compact active cells (cumsum rank scatter) ----
     af = active.reshape(-1)
     rank = jnp.cumsum(af.astype(jnp.int32)) - 1
     n_active = jnp.sum(af.astype(jnp.int32))
-    overflow = jnp.maximum(n_active - cell_cap, 0)
+    cell_overflow = jnp.maximum(n_active - cell_cap, 0)
     dest = jnp.where(af & (rank < cell_cap), rank, cell_cap)
     flat_id = jnp.arange(b * 512, dtype=jnp.int32)
     slot_id = jnp.full((cell_cap + 1,), -1, jnp.int32).at[dest].set(
@@ -105,37 +138,63 @@ def _mesh_blocks(sample_block, sample_off, sample_sd, n_samples,
     live = slot_id >= 0
     sid = jnp.maximum(slot_id, 0)
 
-    c_case = case.reshape(-1)[sid]
-    c_sd = corner_sd.reshape(-1, 8)[sid]                  # (C, 8)
+    c_case = case.reshape(-1)[sid]                        # (C,)
+    c_sd = [p.reshape(-1)[sid] for p in planes]           # 8 x (C,)
     c_block = sid // 512
-    c_xyz = jnp.asarray(_CXYZ)[sid % 512]                 # (C, 3)
-    base = block_coords[c_block] * 8 + c_xyz              # world voxel
+    cell = sid % 512
+    base = [bc_x[c_block] * 8 + jnp.asarray(_CXYZ[:, 0])[cell],
+            bc_y[c_block] * 8 + jnp.asarray(_CXYZ[:, 1])[cell],
+            bc_z[c_block] * 8 + jnp.asarray(_CXYZ[:, 2])[cell]]
 
-    # ---- 12 edge vertices per cell ----
-    sd_a = c_sd[:, jnp.asarray(_E0)]                      # (C, 12)
-    sd_b = c_sd[:, jnp.asarray(_E1)]
-    denom = sd_a - sd_b
-    t = jnp.where(jnp.abs(denom) > 1e-30,
-                  (sd_a - iso) / jnp.where(denom == 0, 1.0, denom), 0.5)
-    t = jnp.clip(t, 0.0, 1.0)
-    pa = (base[:, None, :] + jnp.asarray(CORNERS)[None, jnp.asarray(_E0), :]
-          ).astype(jnp.float32)
-    pb = (base[:, None, :] + jnp.asarray(CORNERS)[None, jnp.asarray(_E1), :]
-          ).astype(jnp.float32)
-    edge_pos = pa + (pb - pa) * t[:, :, None]             # (C, 12, 3) voxels
-    edge_lo = base[:, None, :] + jnp.asarray(_ELO)[None]  # (C, 12, 3) int32
+    # ---- 12 edge vertices per cell, per axis: (12, C) stacks ----
+    pos_ax, lo_ax = [], []
+    t_all = []
+    for e in range(12):
+        sd_a, sd_b = c_sd[_E0[e]], c_sd[_E1[e]]
+        denom = sd_a - sd_b
+        t = jnp.where(jnp.abs(denom) > 1e-30,
+                      (sd_a - iso) / jnp.where(denom == 0, 1.0, denom), 0.5)
+        t_all.append(jnp.clip(t, 0.0, 1.0))
+    for k in range(3):
+        pe, le = [], []
+        for e in range(12):
+            a = float(CORNERS[_E0[e]][k])
+            bb = float(CORNERS[_E1[e]][k])
+            pa = base[k].astype(jnp.float32) + a
+            pe.append(pa + (bb - a) * t_all[e])
+            le.append(base[k] + int(_ELO[e][k]))
+        pos_ax.append(jnp.stack(pe))                      # (12, C) f32
+        lo_ax.append(jnp.stack(le))                       # (12, C) i32
 
-    # ---- triangle emission ----
-    tri_e = jnp.asarray(TRI_TABLE)[c_case][:, :15].reshape(-1, 5, 3)
-    tri_valid = (tri_e[:, :, 0] >= 0) & live[:, None]     # (C, 5)
-    te = jnp.maximum(tri_e, 0)                            # (C, 5, 3)
-    ci = jnp.arange(te.shape[0])[:, None, None]
-    tri_pos = edge_pos[ci, te]                            # (C, 5, 3, 3)
-    tri_lo = edge_lo[ci, te]                              # (C, 5, 3, 3)
-    tri_axis = jnp.asarray(_EAXIS)[te]                    # (C, 5, 3)
-    return (tri_valid.reshape(-1), tri_pos.reshape(-1, 3, 3),
-            tri_lo.reshape(-1, 3, 3), tri_axis.reshape(-1, 3),
-            n_active, overflow)
+    # ---- triangle table -> per-vertex edge ids (15, C) ----
+    te = jnp.asarray(_TRI15_T)[:, c_case]                 # (15, C)
+    tri_valid = (te[0::3] >= 0) & live[None, :]           # (5, C)
+    teg = jnp.maximum(te, 0)
+    vtx = [jnp.take_along_axis(pos_ax[k], teg, axis=0) for k in range(3)]
+    vlo = [jnp.take_along_axis(lo_ax[k], teg, axis=0) for k in range(3)]
+    vax = jnp.asarray(_EAXIS)[teg]                        # (15, C)
+
+    # ---- compact the triangle soup (only live triangles transfer) ----
+    tf = tri_valid.T.reshape(-1)                          # (C*5,), cell-major
+    trank = jnp.cumsum(tf.astype(jnp.int32)) - 1
+    n_tris = jnp.sum(tf.astype(jnp.int32))
+    tri_overflow = jnp.maximum(n_tris - tri_cap, 0)
+    tdest = jnp.where(tf & (trank < tri_cap), trank, tri_cap)
+    tslot = jnp.full((tri_cap + 1,), 0, jnp.int32).at[tdest].set(
+        jnp.arange(tf.shape[0], dtype=jnp.int32))[:tri_cap]
+    c_of_t = tslot // 5
+    s_of_t = tslot % 5
+    vsel = s_of_t[None, :] * 3 + jnp.arange(3, dtype=jnp.int32)[:, None]
+
+    def pick(arr15):                                      # (15, C) -> (3, T)
+        return arr15[vsel, c_of_t[None, :]]
+
+    return ([pick(v) for v in vtx], [pick(v) for v in vlo], pick(vax),
+            n_tris, cell_overflow, tri_overflow)
+
+
+def _pow2(n: int) -> int:
+    return max(1024, 1 << int(np.ceil(np.log2(max(n, 1)))))
 
 
 def marching_cubes_device(sample_codes: np.ndarray, sample_sd: np.ndarray,
@@ -165,24 +224,43 @@ def marching_cubes_device(sample_codes: np.ndarray, sample_sd: np.ndarray,
         pos_c = np.minimum(pos, bsent - 1)
         nb[:, sel] = np.where(ublocks[pos_c] == ncode, pos_c, bsent)
 
+    srow_j = jnp.asarray(srow)
+    soff_j = jnp.asarray(soff)
+    sd_j = jnp.asarray(sd)
+    nb_j = jnp.asarray(nb)
+    bcx = jnp.asarray(bcoords[:, 0].astype(np.int32))
+    bcy = jnp.asarray(bcoords[:, 1].astype(np.int32))
+    bcz = jnp.asarray(bcoords[:, 2].astype(np.int32))
+
     if cell_cap is None:
-        # every cell with a sign crossing neighbours a sample; 2 cells per
-        # sample is a comfortable start for closed surfaces
-        cell_cap = max(1024, 1 << int(np.ceil(np.log2(2 * m))))
+        # pass 1: exact counts -> pow2 capacities (compile-cache friendly,
+        # no worst-case materialization; a 6.4M-voxel map previously tried
+        # to allocate 25 GiB of tile-padded worst case and OOM'd compile)
+        na, nt = _count_active(srow_j, soff_j, sd_j, jnp.int32(m), nb_j,
+                               jnp.float32(iso))
+        cell_cap = _pow2(int(na))
+        tri_cap = _pow2(int(nt))
+    else:
+        tri_cap = cell_cap * 5
 
     while True:
-        (tv, tpos, tlo, taxis, n_active, overflow) = _mesh_blocks(
-            jnp.asarray(srow), jnp.asarray(soff), jnp.asarray(sd),
-            jnp.int32(m), jnp.asarray(nb), jnp.asarray(bcoords.astype(np.int32)),
-            jnp.float32(iso), cell_cap)
-        if int(overflow) == 0:
+        (vpos, vlo, vax, n_tris, c_ovf, t_ovf) = _mesh_blocks(
+            srow_j, soff_j, sd_j, jnp.int32(m), nb_j, bcx, bcy, bcz,
+            jnp.float32(iso), cell_cap, tri_cap)
+        if int(c_ovf) == 0 and int(t_ovf) == 0:
             break
-        cell_cap *= 2                                     # recompile, retry
+        if int(c_ovf) > 0:
+            cell_cap *= 2                                 # recompile, retry
+        if int(t_ovf) > 0:
+            tri_cap *= 2
 
-    tv = np.asarray(tv)
-    tpos = np.asarray(tpos)[tv] * np.float32(sdf_res)     # (T, 3, 3)
-    tlo = np.asarray(tlo)[tv]                             # (T, 3, 3) int32
-    taxis = np.asarray(taxis)[tv].astype(np.uint64)
+    t = int(n_tris)
+    # (3, T) per axis -> (T, 3 verts, 3 xyz), live prefix only
+    tpos = np.stack([np.asarray(v)[:, :t] for v in vpos],
+                    axis=-1).transpose(1, 0, 2) * np.float32(sdf_res)
+    tlo = np.stack([np.asarray(v)[:, :t] for v in vlo],
+                   axis=-1).transpose(1, 0, 2)
+    taxis = np.asarray(vax)[:, :t].T.astype(np.uint64)    # (T, 3)
 
     # ---- host weld: same canonical keys as mesh/mc.py ----
     keys_soup = (morton.np_encode63(tlo.reshape(-1, 3)).reshape(-1, 3)

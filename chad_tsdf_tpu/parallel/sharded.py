@@ -80,14 +80,16 @@ def scratch_config(config: MapConfig) -> MapConfig:
 def default_halo_capacity(n_shards: int, config: MapConfig) -> int:
     """Per-(src,dst) row capacity for the halo all_to_all.
 
-    Remote rows are the halo band — blocks within one truncation band of a
-    Morton range boundary, a few % of a scan's touched blocks under the
-    Morton-contiguous host split — so the default reserves half the uniform
-    share of ``touched_capacity``.  Rows beyond it defer locally (counted
-    in ``route_overflow``, merged exactly at finalize — never dropped), so
-    a too-small capacity costs deduplication latency, not data."""
-    cap = config.touched_capacity // (2 * max(n_shards, 1))
-    return max(256, -(-cap // 8) * 8)
+    Remote rows are the halo band — blocks within one truncation band of
+    an ownership boundary.  Measured on the KITTI-shaped stream with the
+    occupancy-adaptive bounds ShardedTSDFMap uses: ~250 of ~5,500 touched
+    rows/scan at N=8, i.e. ~36 rows per (src,dst) pair — the default
+    reserves an eighth of the uniform ``touched_capacity`` share, >10x
+    that.  Rows beyond it defer locally (counted in ``route_overflow``,
+    merged exactly at finalize — never dropped), so a too-small capacity
+    costs deduplication latency, not data."""
+    cap = config.touched_capacity // (8 * max(n_shards, 1))
+    return max(64, -(-cap // 8) * 8)
 
 
 def create_sharded_state(config: MapConfig, mesh: Mesh, origin_blocks=None,
@@ -162,19 +164,24 @@ def _route_block_rows(keys, sd_rows, w_rows, bounds, me, capacity: int,
     sent = valid & (row_dst != me) & (pos_in_seg < c)
     deferred = jnp.sum(valid & (row_dst != me) & (pos_in_seg >= c))
     local_keys = jnp.where(valid & ~sent, keys, INT32_MAX)
-    return local_keys, recv_k, recv_sd, recv_w, deferred.astype(jnp.int32)
+    return (local_keys, recv_k, recv_sd, recv_w,
+            deferred.astype(jnp.int32), jnp.sum(sent).astype(jnp.int32))
 
 
 def make_sharded_insert(config: MapConfig, mesh: Mesh,
                         halo_capacity: int | None = None,
-                        axis: str = "shard"):
+                        axis: str = "shard",
+                        force_generic: bool = False):
     """Build the jitted SPMD insert step.
 
     Returns ``(step, halo_capacity)`` where ``step(state_stack, points,
-    n_points, position) -> (state_stack, metrics)``; ``state_stack`` leaves
-    carry a leading device axis and ``points`` is
-    (n_shards * max_points, 3) data-parallel (ideally Morton-contiguous per
-    shard, see :func:`morton_split`).
+    n_points, position, bounds) -> (state_stack, metrics)``;
+    ``state_stack`` leaves carry a leading device axis, ``points`` is
+    (n_shards * max_points, 3) data-parallel (ideally aligned to the
+    ownership ranges, see :func:`owner_split`), and ``bounds`` is the
+    (n_shards + 1,) i32 Morton ownership partition — a TRACED argument,
+    so per-submap occupancy-adaptive bounds (ShardedTSDFMap) reuse one
+    compiled step.
 
     ``metrics['route_overflow']`` counts halo rows *deferred* to the local
     pool this step because the per-pair capacity was hit — deferred rows
@@ -184,16 +191,16 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
     n_shards = mesh.devices.size
     if halo_capacity is None:
         halo_capacity = default_halo_capacity(n_shards, config)
-    bounds_np = key_bounds(n_shards, config)
 
-    if n_shards == 1:
+    if n_shards == 1 and not force_generic:
         # One shard owns the whole key space: no halo can exist, so the
         # scratch pool, the routing all_to_all and the second merge pass
         # are pure overhead (measured 3-4.6x vs the single-device path on
         # the same chip, SHARDED_KITTI_tpu1 round 4).  Integrate straight
         # into the persistent pool with the exact single-device pipeline —
         # the sharded map at N=1 then IS the single-device map.
-        def shard_fn_single(state, points, n_points, position):
+        def shard_fn_single(state, points, n_points, position, bounds):
+            del bounds                     # one shard owns everything
             state = jax.tree.map(lambda x: x[0], state)
             points = points.reshape(-1, 3)
             if config.packed_ingest:
@@ -203,6 +210,7 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
             state, metrics = integrate.insert_step_impl(
                 state, points, n_points[0], position, config)
             metrics["route_overflow"] = jnp.int32(0)
+            metrics["route_sent"] = jnp.int32(0)
             metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
             state = jax.tree.map(lambda x: x[None], state)
             return state, metrics
@@ -212,7 +220,7 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
         step1 = jax.jit(
             jax.shard_map(
                 shard_fn_single, mesh=mesh,
-                in_specs=(pspec1, P(axis), P(axis), P()),
+                in_specs=(pspec1, P(axis), P(axis), P(), P()),
                 out_specs=(pspec1, P()),
                 check_vma=False,
             ),
@@ -225,7 +233,7 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
     merge_cap = config.touched_capacity + n_shards * halo_capacity
     merge_cfg = dataclasses.replace(config, touched_capacity=merge_cap)
 
-    def shard_fn(state, points, n_points, position):
+    def shard_fn(state, points, n_points, position, bounds):
         state = jax.tree.map(lambda x: x[0], state)     # drop device axis
         points = points.reshape(-1, 3)
         if config.packed_ingest:
@@ -234,7 +242,6 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
             # bytes, the per-scan cost floor on link-bound streaming
             step_q = jnp.float32(config.sdf_res / 8.0)
             points = points.astype(jnp.float32) * step_q + position[None, :]
-        bounds = jnp.asarray(bounds_np)
         me = jax.lax.axis_index(axis)
 
         # ---- 1. full single-device pipeline into a fresh scratch pool ----
@@ -252,6 +259,7 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
         # uniformly by the whole mesh.
         n_live_max = jax.lax.pmax(scratch.n_blocks, axis)
         row_buckets = sorted({min(scb, max(1024, scb // 8)),
+                              min(scb, max(1024, scb // 4)),
                               min(scb, max(1024, scb // 2)), scb})
 
         def step_with_rows(b):
@@ -261,7 +269,7 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
                 sd_rows = scratch.pool_sd[slots]
                 w_rows = scratch.pool_w[slots]
 
-                local_k, recv_k, recv_sd, recv_w, deferred = \
+                local_k, recv_k, recv_sd, recv_w, deferred, sent = \
                     _route_block_rows(keys, sd_rows, w_rows, bounds, me,
                                       halo_capacity, axis)
 
@@ -275,6 +283,9 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
                     merge_cfg,
                     interpret=jax.default_backend() != "tpu")
                 metrics["route_overflow"] = deferred
+                # halo rows actually exchanged — x 4 KiB x 2 planes is the
+                # per-step all_to_all traffic (SCALING.md's measured term)
+                metrics["route_sent"] = sent
                 return state, metrics
             return run
 
@@ -298,13 +309,96 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
     step = jax.jit(
         jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(pspec, P(axis), P(axis), P()),
+            in_specs=(pspec, P(axis), P(axis), P(), P()),
             out_specs=(pspec, P()),
             # pallas_call outputs carry no varying-mesh-axes annotation
             check_vma=False,
         ),
         donate_argnums=(0,))
     return step, halo_capacity
+
+
+def point_block_keys(points: np.ndarray, origin_blocks: np.ndarray,
+                     config: MapConfig) -> np.ndarray:
+    """Host-side local block key per point — the exact mapping of
+    core.integrate.point_keys_soa (out-of-extent points clamp; they are
+    counted as point_overflow by the step itself)."""
+    vox = np.floor(points.astype(np.float64) /
+                   config.sdf_res).astype(np.int64)
+    extent = config.blocks_per_axis * 8
+    loc = np.clip(vox - np.asarray(origin_blocks, np.int64) * 8, 0,
+                  extent - 1)
+    blk = (loc >> 3).astype(np.int32)
+    return np.asarray(morton.encode_block(blk[:, 0], blk[:, 1], blk[:, 2]))
+
+
+def adaptive_bounds(points: np.ndarray, origin_blocks, n_shards: int,
+                    config: MapConfig) -> np.ndarray:
+    """Occupancy-adaptive Morton ownership partition: cut the OBSERVED
+    block-key distribution into equal-count ranges.
+
+    The static uniform partition (:func:`key_bounds`) slices the whole
+    2^30 key space evenly, but a real scan occupies a tiny fraction of
+    it, so nearly all content lands in one or two static ranges — the
+    measured remote fraction of the KITTI workload under static bounds
+    was 43-98% (scripts/sharded_overhead_bench.py).  Quantile bounds from
+    the first scan of a submap make ownership match the data: the halo
+    shrinks to the truncation band around the n-1 cut keys."""
+    keys = np.sort(point_block_keys(points, origin_blocks, config))
+    if keys.size == 0:
+        return key_bounds(n_shards, config)
+    cuts = keys[np.minimum((np.arange(1, n_shards) * keys.size) //
+                           n_shards, keys.size - 1)]
+    space = 1 << (3 * config.block_bits)
+    b = np.concatenate([[0], cuts.astype(np.int64), [space]])
+    return np.maximum.accumulate(b).astype(np.int32)
+
+
+def owner_split(points: np.ndarray, bounds: np.ndarray,
+                origin_blocks, config: MapConfig):
+    """Split a scan by OWNERSHIP under ``bounds`` (and Morton-sort each
+    chunk for compact normal neighbourhoods).  Unlike
+    :func:`morton_split`'s equal-count cut, every point integrates on the
+    shard that owns its block, so only the DDA truncation band crosses
+    ownership boundaries — the halo the design intends.  Returns a list
+    of (count_i, 3) arrays."""
+    pts = np.asarray(points, np.float32)
+    n_shards = bounds.shape[0] - 1
+    if len(pts) == 0:
+        return [pts[:0] for _ in range(n_shards)]
+    keys = point_block_keys(pts, origin_blocks, config)
+    owner = np.clip(np.searchsorted(bounds, keys, side="right") - 1,
+                    0, n_shards - 1)
+    vox = np.floor(pts.astype(np.float64) / config.sdf_res).astype(np.int64)
+    codes = morton.np_encode63(vox)
+    order = np.lexsort((codes, owner))
+    pts_s, owner_s = pts[order], owner[order]
+    starts = np.searchsorted(owner_s, np.arange(n_shards + 1))
+    return [pts_s[starts[i]:starts[i + 1]] for i in range(n_shards)]
+
+
+def rebalance_chunks(chunks: list, cap: int) -> list:
+    """Cap each chunk at ``cap`` points, spilling the excess into chunks
+    with spare room.  Spilled points integrate on a non-owner shard and
+    their block rows travel back through the halo all_to_all (or defer
+    locally) — correct by construction, so ownership skew can cost
+    traffic but never data."""
+    if all(len(c) <= cap for c in chunks):
+        return chunks
+    excess = [c[cap:] for c in chunks if len(c) > cap]
+    chunks = [c[:cap] for c in chunks]
+    pool = np.concatenate(excess)
+    out = []
+    k = 0
+    for c in chunks:
+        spare = cap - len(c)
+        if spare > 0 and k < len(pool):
+            take = pool[k:k + spare]
+            c = np.concatenate([c, take])
+            k += len(take)
+        out.append(c)
+    assert k == len(pool), "total points exceed n_shards * cap"
+    return out
 
 
 def morton_split(points: np.ndarray, n_shards: int, sdf_res: float):
@@ -491,10 +585,12 @@ def _state_pspec(config: MapConfig, axis: str):
 
 
 def _fin_counters_step(config: MapConfig, mesh, axis: str):
-    """jit: state_stack -> ((n, 7) i32 replicated, (n, 3) i32 replicated).
+    """jit: state_stack -> (n, 10) i32 replicated.
 
     Per shard: [n_blocks, live clusters, point/sample/block/touched/tile
-    overflow]; plus origin_blocks."""
+    overflow, origin_blocks x3] — ONE output so rotation costs ONE host
+    readback (each round trip through the relay also degrades the next
+    dispatches >10x)."""
     key = ("cnt", config, _mesh_key(mesh, axis))
     step = _GLOBAL_STEP_CACHE.get(key)
     if step is not None:
@@ -508,16 +604,17 @@ def _fin_counters_step(config: MapConfig, mesh, axis: str):
         idx_c = jnp.minimum(idx, jnp.maximum(st.n_blocks - 1, 0))
         w = st.pool_w[st.dir_slots[idx_c]].reshape(cb, 64, 8)
         ne = jnp.any((w > 0) & valid[:, None, None], -1)
-        vals = jnp.stack([st.n_blocks, jnp.sum(ne).astype(jnp.int32),
-                          st.point_overflow, st.sample_overflow,
-                          st.block_overflow, st.touched_overflow,
-                          st.tile_overflow])
-        return (jax.lax.all_gather(vals, axis),
-                jax.lax.all_gather(st.origin_blocks, axis))
+        vals = jnp.concatenate([
+            jnp.stack([st.n_blocks, jnp.sum(ne).astype(jnp.int32),
+                       st.point_overflow, st.sample_overflow,
+                       st.block_overflow, st.touched_overflow,
+                       st.tile_overflow]),
+            st.origin_blocks.astype(jnp.int32)])
+        return jax.lax.all_gather(vals, axis)
 
     step = jax.jit(jax.shard_map(
         fn, mesh=mesh, in_specs=(_state_pspec(config, axis),),
-        out_specs=(P(), P()), check_vma=False))
+        out_specs=P(), check_vma=False))
     _GLOBAL_STEP_CACHE[key] = step
     return step
 
@@ -626,9 +723,8 @@ def start_finalize_sharded_global(state_stack, mesh, config: MapConfig,
     from ..core import submap as submap_mod
     from ..ops import morton as morton_ops
 
-    cnt_g, org_g = _fin_counters_step(config, mesh, axis)(state_stack)
-    cnt = np.asarray(cnt_g)
-    origin = np.asarray(org_g)[0]
+    cnt = np.asarray(_fin_counters_step(config, mesh, axis)(state_stack))
+    origin = cnt[0, 7:10]
     nbs, counts = cnt[:, 0], cnt[:, 1]
     ovf_tot = {}
     for name, col in zip(("point_overflow", "sample_overflow",
@@ -653,11 +749,14 @@ def start_finalize_sharded_global(state_stack, mesh, config: MapConfig,
     cap = submap_mod.cap_bucket(int(counts.max()))
     bufs_g, keys_g = _fin_extract_step(config, mesh, axis, n_pad,
                                        cap)(state_stack)
-    keys_np = np.asarray(keys_g)
 
     wb_dup = np.zeros(0, np.uint64)
     dup_clusters = None
     if len(live) > 1:
+        # the directory snapshot is only needed for duplicate detection
+        # across >= 2 live shards; fetching it at N=1 would be a wasted
+        # link round trip per rotation
+        keys_np = np.asarray(keys_g)
         all_keys = np.concatenate([keys_np[i, :nbs[i]] for i in live])
         uk, kcounts = np.unique(all_keys, return_counts=True)
         dup = uk[kcounts > 1]
@@ -712,9 +811,8 @@ def gather_states_global(state_stack, mesh, config: MapConfig,
     checkpointing.  Results feed :func:`merge_states_host` unchanged."""
     import types
 
-    cnt_g, org_g = _fin_counters_step(config, mesh, axis)(state_stack)
-    cnt = np.asarray(cnt_g)
-    origin = np.asarray(org_g)[0]
+    cnt = np.asarray(_fin_counters_step(config, mesh, axis)(state_stack))
+    origin = cnt[0, 7:10]
     nbs = cnt[:, 0]
     knb = _pow2(int(max(nbs.max(), 1)))
     keys_g, sd_g, w_g = _ckpt_rows_step(config, mesh, axis,

@@ -83,6 +83,8 @@ class ShardedTSDFMap(TSDFMap):
         # single-device path (core/map.py insert)
         self._steps: dict = {}
         self.state_stack = None
+        self._origin = None
+        self._bounds = None
 
     def _step_for(self, bucket: int, impl: str):
         step = self._steps.get((bucket, impl))
@@ -138,13 +140,24 @@ class ShardedTSDFMap(TSDFMap):
             # scratch integration on a sparse outdoor scan must run the
             # sparse backend, not the dense fused kernel + fallback
             impl = self._dispatch_config(chunk).accumulate_impl
+            if self._bounds is None:
+                # occupancy-adaptive ownership partition, fixed for the
+                # submap's lifetime (consistent row ownership); computed
+                # from the submap's first chunk.  Static uniform bounds
+                # made 43-98% of a KITTI scan's rows remote (measured,
+                # scripts/sharded_overhead_bench.py).
+                self._bounds = sharded.adaptive_bounds(
+                    chunk, self._origin, self.n_shards, self.config) \
+                    if self.n_shards > 1 and len(chunk) else \
+                    sharded.key_bounds(self.n_shards, self.config)
             if self.n_shards == 1:
                 # no split needed (the pipeline Morton-sorts on device) —
                 # the host argsort would cost ~10 ms per 131k-point scan
                 shards = [chunk]
             else:
-                shards = sharded.morton_split(chunk, self.n_shards,
-                                              self.config.sdf_res)
+                shards = sharded.rebalance_chunks(
+                    sharded.owner_split(chunk, self._bounds, self._origin,
+                                        self.config), cap)
             per = max(len(c) for c in shards)
             bucket = next((b for b in buckets if b >= per), cap)
             padded = np.zeros((self.n_shards * bucket, 3), np.float32)
@@ -168,7 +181,7 @@ class ShardedTSDFMap(TSDFMap):
                 n_per = distributed.global_shard_array(
                     n_per, self.mesh, P(self.axis))
             self.state_stack, metrics = self._step_for(bucket, impl)(
-                self.state_stack, padded, n_per, position)
+                self.state_stack, padded, n_per, position, self._bounds)
             for k, v in metrics.items():
                 metrics_acc[k] = (metrics_acc[k] + v) if k in metrics_acc \
                     else v
@@ -190,6 +203,8 @@ class ShardedTSDFMap(TSDFMap):
 
     def _start_submap(self, position: np.ndarray) -> None:
         origin = origin_blocks_for_position(position, self.config)
+        self._origin = origin
+        self._bounds = None        # adaptive, set by the first insert
         self.state_stack = sharded.create_sharded_state(
             self.config, self.mesh, origin, axis=self.axis)
         self._positions = []

@@ -46,6 +46,7 @@ from chad_tsdf_tpu.config import MapConfig                    # noqa: E402
 from chad_tsdf_tpu.core.state import origin_blocks_for_position  # noqa: E402
 from chad_tsdf_tpu.parallel import (create_sharded_state, make_mesh,  # noqa: E402
                                     make_sharded_insert, morton_split)
+from chad_tsdf_tpu.parallel.sharded import adaptive_bounds  # noqa: E402
 
 
 def sphere_points(n, r=5.0, seed=0):
@@ -73,21 +74,22 @@ def bench_mesh(n_dev: int, cfg: MapConfig, rounds: int, inner: int = 4):
     padded_j = jax.device_put(jnp.asarray(padded))
     n_per_j = jnp.asarray(n_per)
     pos_j = jnp.asarray(pos)
+    bounds_j = jnp.asarray(adaptive_bounds(pts, origin, n_dev, cfg))
 
     def sync(st):
         # one-element readback: block_until_ready does not actually wait
         # for completion through the axon relay (see bench.py)
         np.asarray(st.pool_sd[(0,) * st.pool_sd.ndim])
 
-    state, m = step(state, padded_j, n_per_j, pos_j)     # compile + warmup
+    state, m = step(state, padded_j, n_per_j, pos_j, bounds_j)     # compile + warmup
     sync(state)
-    state, m = step(state, padded_j, n_per_j, pos_j)     # absorb relay quirk
+    state, m = step(state, padded_j, n_per_j, pos_j, bounds_j)     # absorb relay quirk
     sync(state)
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
         for _ in range(inner):
-            state, m = step(state, padded_j, n_per_j, pos_j)
+            state, m = step(state, padded_j, n_per_j, pos_j, bounds_j)
         sync(state)
         best = min(best, (time.perf_counter() - t0) / inner)
     n_points = int(n_per.sum())

@@ -61,7 +61,9 @@ def main():
     step, _ = make_sharded_insert(cfg, mesh)
     pts_g = distributed.global_shard_array(padded, mesh, P("shard"))
     n_per_g = distributed.global_shard_array(n_per, mesh, P("shard"))
-    state_stack, metrics = step(state_stack, pts_g, n_per_g, pos)
+    from chad_tsdf_tpu.parallel import key_bounds
+    state_stack, metrics = step(state_stack, pts_g, n_per_g, pos,
+                                key_bounds(n_dev, cfg))
     metrics = {k: int(v) for k, v in metrics.items()}       # replicated
 
     # global reductions over the distributed pool for the oracle check

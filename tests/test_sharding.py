@@ -61,8 +61,10 @@ def run_sharded(pts, cfg=CFG, n_dev=8, split="morton", seed_pos=None,
     padded, n_per = pack_shards(chunks, cfg.max_points)
     state_stack = create_sharded_state(cfg, mesh, origin)
     step, _ = make_sharded_insert(cfg, mesh, **step_kw)
+    bounds = jnp.asarray(key_bounds(n_dev, cfg))
     state_stack, metrics = step(state_stack, jnp.asarray(padded),
-                                jnp.asarray(n_per), jnp.asarray(pos))
+                                jnp.asarray(n_per), jnp.asarray(pos),
+                                bounds)
     return state_stack, {k: int(v) for k, v in metrics.items()}, origin
 
 
@@ -202,10 +204,11 @@ def test_sharded_determinism():
     chunks = morton_split(pts, n_dev, CFG.sdf_res)
     padded, n_per = pack_shards(chunks, CFG.max_points)
     step, _ = make_sharded_insert(CFG, mesh)
+    bounds = jnp.asarray(key_bounds(n_dev, CFG))
     s1, _ = step(create_sharded_state(CFG, mesh, origin), jnp.asarray(padded),
-                 jnp.asarray(n_per), jnp.asarray(pos))
+                 jnp.asarray(n_per), jnp.asarray(pos), bounds)
     s2, _ = step(create_sharded_state(CFG, mesh, origin), jnp.asarray(padded),
-                 jnp.asarray(n_per), jnp.asarray(pos))
+                 jnp.asarray(n_per), jnp.asarray(pos), bounds)
     np.testing.assert_array_equal(np.asarray(s1.pool_sd),
                                   np.asarray(s2.pool_sd))
 
