@@ -62,32 +62,43 @@ class NodeLevel:
         if m == 0:
             return np.zeros(0, np.uint32)
         uniq, inverse = np.unique(children, axis=0, return_inverse=True)
-        addrs = np.zeros(uniq.shape[0], np.uint32)
-        masks = (uniq != 0).astype(np.uint32)
-        mask_bits = (masks << np.arange(8, dtype=np.uint32)).sum(1)
-        counts = masks.sum(1)
-        self._reserve(int(counts.sum()) + 9 * uniq.shape[0])
-        raw = self._raw
-        new_n = 0
-        for i in range(uniq.shape[0]):
-            key = uniq[i].tobytes()
-            addr = self._index.get(key)
-            if addr is None:
-                addr = self._occupied
-                raw[addr] = mask_bits[i]
-                kids = uniq[i]
-                kids = kids[kids != 0]
-                n = kids.shape[0]
-                raw[addr + 1:addr + 1 + n] = kids
-                self._occupied = addr + 1 + n
-                self._index[key] = addr
-                new_n += 1
-            addrs[i] = addr
+        u = uniq.shape[0]
+        # probe the index in one C-level pass (dict.get mapped over 32-byte
+        # row keys); the per-unique python loop this replaces crawled on
+        # large novel submaps (advisor/VERDICT r4 weak #6)
+        buf = uniq.tobytes()
+        keys = [buf[32 * i:32 * (i + 1)] for i in range(u)]
+        got = np.fromiter(map(lambda k: self._index.get(k, -1), keys),
+                          np.int64, count=u)
+        addrs = got.astype(np.int64)
+
+        novel = np.flatnonzero(got < 0)
+        new_n = int(novel.shape[0])
+        if new_n:
+            nu = uniq[novel]                              # (K, 8)
+            masks = nu != 0
+            mask_bits = ((masks.astype(np.uint32)
+                          << np.arange(8, dtype=np.uint32)).sum(1))
+            counts = masks.sum(1).astype(np.int64)
+            widths = counts + 1
+            offs = self._occupied + np.concatenate(
+                [[0], np.cumsum(widths[:-1])])
+            self._reserve(int(widths.sum()))
+            raw = self._raw
+            raw[offs] = mask_bits
+            # child write positions: offs+1 plus the within-node rank of
+            # each present child (flattened, no python loop)
+            rank = np.cumsum(masks, axis=1) - 1
+            pos = (offs[:, None] + 1 + rank)[masks]
+            raw[pos] = nu[masks]
+            self._occupied = int(offs[-1] + widths[-1])
+            self._index.update(zip((keys[i] for i in novel), offs))
+            addrs[novel] = offs
         # counters match the reference's per-add semantics (levels.hpp:80-87):
         # every submitted node is either a fresh unique or a duplicate
         self.uniques_n += new_n
         self.dupes_n += m - new_n
-        return addrs[inverse]
+        return addrs.astype(np.uint32)[inverse]
 
     # ---- vectorized lookups over the packed layout ----
     def child_addrs(self, addrs: np.ndarray) -> np.ndarray:
@@ -136,26 +147,27 @@ class LeafClusterLevel:
         if words.shape[0] == 0:
             return np.zeros(0, np.uint32)
         uniq, inverse = np.unique(words, return_inverse=True)
-        addrs = np.zeros(uniq.shape[0], np.uint32)
-        if self._n + uniq.shape[0] > self._raw.shape[0]:
-            cap = max(self._n + uniq.shape[0], 2 * self._raw.shape[0])
-            new = np.zeros(cap, np.uint64)
-            new[:self._n] = self._raw[:self._n]
-            self._raw = new
-        new_n = 0
-        for i in range(uniq.shape[0]):
-            key = int(uniq[i])
-            addr = self._index.get(key)
-            if addr is None:
-                addr = self._n
-                self._raw[addr] = uniq[i]
-                self._n = addr + 1
-                self._index[key] = addr
-                new_n += 1
-            addrs[i] = addr
+        u = uniq.shape[0]
+        keys = uniq.tolist()                 # python ints, one C pass
+        got = np.fromiter(map(lambda k: self._index.get(k, -1), keys),
+                          np.int64, count=u)
+        addrs = got.astype(np.int64)
+        novel = np.flatnonzero(got < 0)
+        new_n = int(novel.shape[0])
+        if new_n:
+            if self._n + new_n > self._raw.shape[0]:
+                cap = max(self._n + new_n, 2 * self._raw.shape[0])
+                new = np.zeros(cap, np.uint64)
+                new[:self._n] = self._raw[:self._n]
+                self._raw = new
+            offs = self._n + np.arange(new_n, dtype=np.int64)
+            self._raw[offs] = uniq[novel]
+            self._n += new_n
+            self._index.update(zip((keys[i] for i in novel), offs))
+            addrs[novel] = offs
         self.uniques_n += new_n
         self.dupes_n += words.shape[0] - new_n
-        return addrs[inverse]
+        return addrs.astype(np.uint32)[inverse]
 
     def get(self, addrs: np.ndarray) -> np.ndarray:
         return self.raw[addrs]
