@@ -145,7 +145,11 @@ def _kitti_shaped_stream(n_scans: int = 12):
     # link moves ~16-23 MB/s, so a 1.5 MB f32 upload alone costs 65-100 ms
     # per scan against ~31 ms of insert compute (MapConfig docstring;
     # 3.1 mm quantization, an order below LiDAR range noise)
-    config = MapConfig(block_capacity=1 << 17, touched_capacity=1 << 15,
+    # block_capacity right-sized to the submap-rotation policy: a 5 m
+    # KITTI-shaped submap touches <= ~25k blocks, 65536 is 2.6x
+    # headroom (overflow is counted + warned); the seg path's pool
+    # update costs ~2.4 ms/step per capacity doubling (measured v5e)
+    config = MapConfig(block_capacity=1 << 16, touched_capacity=1 << 15,
                        packed_ingest=True)
     scans = [(synthetic_lidar_scan([1.5 * i, 0.0, 0.0], seed=i),
               np.float32([1.5 * i, 0.0, 1.7])) for i in range(n_scans)]

@@ -108,7 +108,9 @@ def _count_active(sample_block, sample_off, sample_sd, n_samples, nb_idx,
                                 n_samples, nb_idx, iso)
     n_active = jnp.sum(active.astype(jnp.int32))
     n_tris = jnp.sum(jnp.where(active, jnp.asarray(_TRI_N)[case], 0))
-    return n_active, n_tris
+    # one stacked output = ONE host readback (scalar int() fetches through
+    # the remote relay cost seconds each at map scale, measured)
+    return jnp.stack([n_active, n_tris])
 
 
 @functools.partial(jax.jit, static_argnames=("cell_cap", "tri_cap"))
@@ -190,7 +192,7 @@ def _mesh_blocks(sample_block, sample_off, sample_sd, n_samples,
         return arr15[vsel, c_of_t[None, :]]
 
     return ([pick(v) for v in vtx], [pick(v) for v in vlo], pick(vax),
-            n_tris, cell_overflow, tri_overflow)
+            jnp.stack([n_tris, cell_overflow, tri_overflow]))
 
 
 def _pow2(n: int) -> int:
@@ -236,31 +238,34 @@ def marching_cubes_device(sample_codes: np.ndarray, sample_sd: np.ndarray,
         # pass 1: exact counts -> pow2 capacities (compile-cache friendly,
         # no worst-case materialization; a 6.4M-voxel map previously tried
         # to allocate 25 GiB of tile-padded worst case and OOM'd compile)
-        na, nt = _count_active(srow_j, soff_j, sd_j, jnp.int32(m), nb_j,
-                               jnp.float32(iso))
-        cell_cap = _pow2(int(na))
-        tri_cap = _pow2(int(nt))
+        na, nt = (int(x) for x in np.asarray(_count_active(
+            srow_j, soff_j, sd_j, jnp.int32(m), nb_j, jnp.float32(iso))))
+        cell_cap = _pow2(na)
+        tri_cap = _pow2(nt)
     else:
         tri_cap = cell_cap * 5
 
     while True:
-        (vpos, vlo, vax, n_tris, c_ovf, t_ovf) = _mesh_blocks(
+        (vpos, vlo, vax, counts) = _mesh_blocks(
             srow_j, soff_j, sd_j, jnp.int32(m), nb_j, bcx, bcy, bcz,
             jnp.float32(iso), cell_cap, tri_cap)
-        if int(c_ovf) == 0 and int(t_ovf) == 0:
+        n_tris, c_ovf, t_ovf = (int(x) for x in np.asarray(counts))
+        if c_ovf == 0 and t_ovf == 0:
             break
-        if int(c_ovf) > 0:
+        if c_ovf > 0:
             cell_cap *= 2                                 # recompile, retry
-        if int(t_ovf) > 0:
+        if t_ovf > 0:
             tri_cap *= 2
 
-    t = int(n_tris)
-    # (3, T) per axis -> (T, 3 verts, 3 xyz), live prefix only
-    tpos = np.stack([np.asarray(v)[:, :t] for v in vpos],
+    t = n_tris
+    # (3, T) per axis -> (T, 3 verts, 3 xyz); slice the live prefix ON
+    # DEVICE so only t columns cross the host link (fetching the full
+    # pow2-capacity buffers cost ~40% extra transfer, measured)
+    tpos = np.stack([np.asarray(v[:, :t]) for v in vpos],
                     axis=-1).transpose(1, 0, 2) * np.float32(sdf_res)
-    tlo = np.stack([np.asarray(v)[:, :t] for v in vlo],
+    tlo = np.stack([np.asarray(v[:, :t]) for v in vlo],
                    axis=-1).transpose(1, 0, 2)
-    taxis = np.asarray(vax)[:, :t].T.astype(np.uint64)    # (T, 3)
+    taxis = np.asarray(vax[:, :t]).T.astype(np.uint64)    # (T, 3)
 
     # ---- host weld: same canonical keys as mesh/mc.py ----
     keys_soup = (morton.np_encode63(tlo.reshape(-1, 3)).reshape(-1, 3)

@@ -149,8 +149,11 @@ def _vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
     v0, v1, v2 = (vertices[faces[:, 0]], vertices[faces[:, 1]],
                   vertices[faces[:, 2]])
     fn = np.cross(v1 - v0, v2 - v0)                      # area-weighted
-    vn = np.zeros_like(vertices)
-    for k in range(3):
-        np.add.at(vn, faces[:, k], fn)
+    vn = np.empty_like(vertices, dtype=np.float64)
+    idx = faces.reshape(-1)
+    w = np.repeat(fn, 3, axis=0)
+    for c in range(3):      # bincount ~10x np.add.at at mesh scale
+        vn[:, c] = np.bincount(idx, weights=w[:, c],
+                               minlength=vertices.shape[0])
     norm = np.linalg.norm(vn, axis=1, keepdims=True)
     return (vn / np.maximum(norm, 1e-30)).astype(np.float32)

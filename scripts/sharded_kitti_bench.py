@@ -50,7 +50,11 @@ def main():
     args = ap.parse_args()
 
     n_dev = args.devices or len(jax.devices())
-    config = MapConfig(block_capacity=1 << 17, touched_capacity=1 << 15,
+    # block_capacity right-sized to the submap-rotation policy: a 5 m
+    # KITTI-shaped submap touches <= ~25k blocks, 65536 is 2.6x
+    # headroom (overflow is counted + warned); the seg path's pool
+    # update costs ~2.4 ms/step per capacity doubling (measured v5e)
+    config = MapConfig(block_capacity=1 << 16, touched_capacity=1 << 15,
                        max_points=1 << 17, packed_ingest=True)
     scans = [(synthetic_lidar_scan([1.5 * i, 0.0, 0.0], seed=i),
               np.float32([1.5 * i, 0.0, 1.7]))
