@@ -199,6 +199,84 @@ def _pow2(n: int) -> int:
     return max(1024, 1 << int(np.ceil(np.log2(max(n, 1)))))
 
 
+def _spread3_11(x):
+    """Spread the low 11 bits of ``x`` to bits 0,3,...,30 (uint32)."""
+    x = x & 0x7FF
+    x = (x | (x << 16)) & 0x070000FF
+    x = (x | (x << 8)) & 0x0700F00F
+    x = (x | (x << 4)) & 0x430C30C3
+    x = (x | (x << 2)) & 0x49249249
+    return x
+
+
+def _canonical_key_pair(lo3, vax):
+    """Device replica of the host weld key ``(np_encode63(lo) << 2) | axis``
+    as an unsigned (hi, lo) u32 pair whose lexicographic order equals the
+    host's u64 order — INCLUDING the host's silent drop of u64 bit 64
+    (axis-2 coordinate bit 20 lands at position 64 after the shift; the
+    u32 arithmetic drops the very same bit, verified in
+    tests/test_mesh.py::test_device_weld_keys).
+
+    Bit bookkeeping: biased coord bit i of axis k sits at key position
+    3i + k + 2.  Positions < 32 come from i <= 9 (spread3_10 << (k+2));
+    positions >= 32 from i >= 10 at hi-word position 3(i-10) + k
+    (spread3_11 << k, whose k=2, i=20 term overflows u32 exactly where
+    the u64 overflows)."""
+    khi = jnp.zeros(vax.shape, jnp.uint32)
+    klo = vax.astype(jnp.uint32)
+    for k in range(3):
+        u = (lo3[k] + (1 << 20)).astype(jnp.uint32)
+        klo = klo | (morton.spread3_10(u & 0x3FF).astype(jnp.uint32)
+                     << (k + 2))
+        khi = khi | (_spread3_11((u >> 10) & 0x7FF) << k)
+    return khi, klo
+
+
+@functools.partial(jax.jit, static_argnames=("tri_cap",))
+def _weld_mesh(vx, vy, vz, lox, loy, loz, vax, n_tris, tri_cap: int):
+    """Device weld: canonical-edge vertex dedup + indexed faces.
+
+    Inputs are _mesh_blocks' (3, T) per-axis outputs.  Returns
+    (vert_x/y/z (3T,) f32 with the live prefix [:n_verts] holding the
+    deduplicated vertices in ascending canonical-key order — identical to
+    the host weld's np.unique order — faces (3, T) i32, n_verts).
+
+    Shipping the indexed mesh instead of the triangle soup cuts the
+    map-scale save transfer ~5x (84 B/tri -> ~18 B/tri measured shapes).
+    """
+    t3 = 3 * tri_cap
+    valid = (jnp.arange(tri_cap) < n_tris)[None, :]       # (1, T)
+    khi, klo = _canonical_key_pair((lox, loy, loz), vax)
+    sent = jnp.uint32(0xFFFFFFFF)     # unreachable: axis bits never 0b11
+    khi = jnp.where(valid, khi, sent).reshape(-1)
+    klo = jnp.where(valid, klo, sent).reshape(-1)
+
+    idx = jnp.arange(t3, dtype=jnp.int32)
+    (s_hi, s_lo, s_idx, s_x, s_y, s_z) = jax.lax.sort(
+        (khi, klo, idx, vx.reshape(-1), vy.reshape(-1), vz.reshape(-1)),
+        num_keys=2)
+    valid_s = ~((s_hi == sent) & (s_lo == sent))
+    first = jnp.concatenate([
+        jnp.ones(1, bool),
+        (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])])
+    newv = first & valid_s
+    rank = jnp.cumsum(newv.astype(jnp.int32)) - 1         # vertex id
+    n_verts = jnp.sum(newv.astype(jnp.int32))
+
+    dest = jnp.where(newv, rank, t3)
+    vert_x = jnp.zeros(t3 + 1, jnp.float32).at[dest].set(
+        s_x, mode="drop")[:t3]
+    vert_y = jnp.zeros(t3 + 1, jnp.float32).at[dest].set(
+        s_y, mode="drop")[:t3]
+    vert_z = jnp.zeros(t3 + 1, jnp.float32).at[dest].set(
+        s_z, mode="drop")[:t3]
+
+    inv = jnp.zeros(t3, jnp.int32).at[s_idx].set(
+        jnp.maximum(rank, 0))
+    faces = inv.reshape(3, tri_cap)
+    return vert_x, vert_y, vert_z, faces, n_verts
+
+
 def marching_cubes_device(sample_codes: np.ndarray, sample_sd: np.ndarray,
                           sdf_res: float, iso: float = 0.0,
                           cell_cap: int | None = None) -> TriangleMesh:
@@ -258,22 +336,17 @@ def marching_cubes_device(sample_codes: np.ndarray, sample_sd: np.ndarray,
             tri_cap *= 2
 
     t = n_tris
-    # (3, T) per axis -> (T, 3 verts, 3 xyz); slice the live prefix ON
-    # DEVICE so only t columns cross the host link (fetching the full
-    # pow2-capacity buffers cost ~40% extra transfer, measured)
-    tpos = np.stack([np.asarray(v[:, :t]) for v in vpos],
-                    axis=-1).transpose(1, 0, 2) * np.float32(sdf_res)
-    tlo = np.stack([np.asarray(v[:, :t]) for v in vlo],
-                   axis=-1).transpose(1, 0, 2)
-    taxis = np.asarray(vax[:, :t]).T.astype(np.uint64)    # (T, 3)
-
-    # ---- host weld: same canonical keys as mesh/mc.py ----
-    keys_soup = (morton.np_encode63(tlo.reshape(-1, 3)).reshape(-1, 3)
-                 << np.uint64(2)) | taxis
-    uniq_keys, inverse = np.unique(keys_soup.reshape(-1), return_inverse=True)
-    vertices = np.zeros((uniq_keys.shape[0], 3), np.float32)
-    vertices[inverse] = tpos.reshape(-1, 3)
-    faces = inverse.reshape(-1, 3).astype(np.int32)
+    # ---- device weld: dedup vertices + index faces on device, ship the
+    # indexed mesh (the triangle soup at map scale is ~250 MB over a
+    # ~23 MB/s link; verts+faces are ~54 MB) ----
+    wvx, wvy, wvz, wfaces, n_verts_d = _weld_mesh(
+        vpos[0], vpos[1], vpos[2], vlo[0], vlo[1], vlo[2], vax,
+        jnp.int32(t), tri_cap)
+    v = int(np.asarray(n_verts_d))
+    vertices = np.stack([np.asarray(wvx[:v]), np.asarray(wvy[:v]),
+                         np.asarray(wvz[:v])],
+                        axis=-1) * np.float32(sdf_res)
+    faces = np.asarray(wfaces[:, :t]).T.astype(np.int32)  # (T, 3)
     ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) &
           (faces[:, 0] != faces[:, 2]))
     faces = faces[ok]

@@ -304,3 +304,33 @@ def test_reference_mesh_rmse():
     mesh = marching_cubes(codes, sd, 0.05)
     stats = vertex_rmse(mesh.vertices, read_ply(ref_ply).vertices)
     assert stats["rmse"] < 0.1 / 127 + 0.5 * 0.05
+
+
+def test_device_weld_keys():
+    """The device weld's u32 key pair must reproduce the host weld's u64
+    canonical key exactly — including the host's silent truncation of
+    bit 64 (axis-2 coordinate bit 20 after the <<2 shift)."""
+    import jax.numpy as jnp
+
+    from chad_tsdf_tpu.mesh.device_mc import _canonical_key_pair
+    from chad_tsdf_tpu.ops import morton as mops
+
+    rng = np.random.default_rng(1)
+    coords = rng.integers(-(1 << 20), (1 << 20) - 1,
+                          size=(4096, 3)).astype(np.int32)
+    # include the bias-boundary neighbourhood where high bits flip
+    coords[:8] = [[0, 0, 0], [-1, -1, -1], [1, 1, 1],
+                  [-1, 0, 0], [0, -1, 0], [0, 0, -1],
+                  [(1 << 20) - 1] * 3, [-(1 << 20)] * 3]
+    axis = rng.integers(0, 3, size=4096).astype(np.int32)
+
+    host_key = (mops.np_encode63(coords) << np.uint64(2)) | \
+        axis.astype(np.uint64)
+    khi, klo = _canonical_key_pair(
+        (jnp.asarray(coords[:, 0])[None, :],
+         jnp.asarray(coords[:, 1])[None, :],
+         jnp.asarray(coords[:, 2])[None, :]),
+        jnp.asarray(axis)[None, :])
+    got = (np.asarray(khi)[0].astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(klo)[0].astype(np.uint64)
+    np.testing.assert_array_equal(got, host_key)
