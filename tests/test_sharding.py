@@ -280,3 +280,39 @@ def test_sharded_finalize_matches_single_device():
     # shard boundaries; must be overwhelmingly identical
     same = (words_sh == words_sd).mean()
     assert same > 0.97, same
+
+
+@needs_mesh
+def test_adaptive_bounds_and_owner_split():
+    """Unit coverage for the occupancy-adaptive ownership helpers: bounds
+    are monotone and span the key space; owner_split assigns every point
+    to the shard owning its block; rebalance_chunks caps per-shard counts
+    without losing points."""
+    from chad_tsdf_tpu.core.state import origin_blocks_for_position
+    from chad_tsdf_tpu.parallel import (adaptive_bounds, owner_split,
+                                        point_block_keys)
+    from chad_tsdf_tpu.parallel.sharded import rebalance_chunks
+
+    pts = sphere_points(8192, r=2.0, seed=13)
+    origin = origin_blocks_for_position(np.zeros(3, np.float32), CFG)
+    bounds = adaptive_bounds(pts, origin, 8, CFG)
+    assert bounds.shape == (9,)
+    assert bounds[0] == 0 and int(bounds[-1]) == 1 << (3 * CFG.block_bits)
+    assert (np.diff(bounds.astype(np.int64)) >= 0).all()
+
+    chunks = owner_split(pts, bounds, origin, CFG)
+    assert sum(len(c) for c in chunks) == len(pts)
+    for me, c in enumerate(chunks):
+        if len(c) == 0:
+            continue
+        keys = point_block_keys(c, origin, CFG)
+        owner = np.clip(np.searchsorted(bounds, keys, side="right") - 1,
+                        0, 7)
+        assert (owner == me).all()
+
+    # force skew, then rebalance into a tight cap
+    skewed = [pts[:5000], pts[5000:5100]] + [pts[:0]] * 6
+    cap = 1024
+    out = rebalance_chunks(skewed, cap)
+    assert all(len(c) <= cap for c in out)
+    assert sum(len(c) for c in out) == 5100
