@@ -225,13 +225,19 @@ class TSDFMap:
                     stacklevel=3)
                 warned.add(name)
         self._overflow_warned = warned
+        self._checked_at_insert = getattr(self, "_n_inserts", 0)
 
     def __del__(self):
         # a short-lived map (< 64 inserts, never rotated/stats'd/saved)
-        # would otherwise drop data without ever warning (advisor r3) —
-        # best-effort: interpreter teardown may have torn the runtime down
+        # would otherwise drop data without ever warning (advisor r3).
+        # Only read the counters when inserts happened SINCE the last
+        # check: the readback blocks the device queue (~28 ms + degraded
+        # dispatches on the remote link), and GC can fire mid-stream —
+        # e.g. rebinding `m = TSDFMap(...)` while another map streams.
         try:
-            self._warn_overflow()
+            n = getattr(self, "_n_inserts", 0)
+            if n and n != getattr(self, "_checked_at_insert", -1):
+                self._warn_overflow()
         except Exception:
             pass
 
@@ -295,15 +301,24 @@ class TSDFMap:
             self.submaps.append(
                 self._pending.pop(0).finish(self.levels, self.config))
 
+    def _active_nonempty(self) -> bool:
+        """Does the active (unfinalized) map hold any blocks?  Overridden
+        by ShardedTSDFMap (whose active map lives in ``state_stack``) so
+        every base-class policy check works for both layouts."""
+        return self.state is not None and int(self.state.n_blocks) > 0
+
+    def _clear_active(self) -> None:
+        self.state = None
+
     def finalize_active(self) -> None:
         """Finalize the current active map into a submap immediately — the
         rotation step of tsdf.cpp:46-61, callable explicitly (e.g. before
         ``optimize_loop_closures`` so the last leg participates as a
         first-class submap rather than a transient snapshot)."""
-        if self.state is not None and int(self.state.n_blocks) > 0:
+        if self._active_nonempty():
             self._finalize_active()
         self._drain_pending()
-        self.state = None
+        self._clear_active()
         self._positions = []
         self._active_snapshot = None
 
@@ -579,7 +594,7 @@ class TSDFMap:
         Returns the optimizer stats dict (initial/final cost, iterations).
         """
         from ..slam import posegraph as pg
-        if self.state is not None and int(self.state.n_blocks) > 0:
+        if self._active_nonempty():
             # include the live map as a (snapshotted) trailing node so its
             # pose participates; its correction applies via the snapshot
             subs = self._all_submaps()

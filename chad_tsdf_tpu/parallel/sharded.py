@@ -590,7 +590,13 @@ def _fin_counters_step(config: MapConfig, mesh, axis: str):
     Per shard: [n_blocks, live clusters, point/sample/block/touched/tile
     overflow, origin_blocks x3] — ONE output so rotation costs ONE host
     readback (each round trip through the relay also degrades the next
-    dispatches >10x)."""
+    dispatches >10x).
+
+    LAYOUT CONTRACT: columns 0-1 and 2-5 mirror core/submap.
+    _rotation_counters (the single-device rotation readback) with tile
+    overflow and origin appended; start_finalize_sharded_global and
+    gather_states_global slice cnt[:, 2:6] / cnt[:, 7:10] by these
+    indices — change all three together."""
     key = ("cnt", config, _mesh_key(mesh, axis))
     step = _GLOBAL_STEP_CACHE.get(key)
     if step is not None:

@@ -140,23 +140,24 @@ class ShardedTSDFMap(TSDFMap):
             # scratch integration on a sparse outdoor scan must run the
             # sparse backend, not the dense fused kernel + fallback
             impl = self._dispatch_config(chunk).accumulate_impl
-            if self._bounds is None:
+            if self._bounds is None and self.n_shards > 1 and len(chunk):
                 # occupancy-adaptive ownership partition, fixed for the
                 # submap's lifetime (consistent row ownership); computed
-                # from the submap's first chunk.  Static uniform bounds
-                # made 43-98% of a KITTI scan's rows remote (measured,
-                # scripts/sharded_overhead_bench.py).
+                # from the submap's first NON-EMPTY chunk — an empty scan
+                # must not lock in the static fallback below, whose
+                # measured remote fraction is 43-98%
+                # (scripts/sharded_overhead_bench.py).
                 self._bounds = sharded.adaptive_bounds(
-                    chunk, self._origin, self.n_shards, self.config) \
-                    if self.n_shards > 1 and len(chunk) else \
-                    sharded.key_bounds(self.n_shards, self.config)
+                    chunk, self._origin, self.n_shards, self.config)
+            bounds = self._bounds if self._bounds is not None else \
+                sharded.key_bounds(self.n_shards, self.config)
             if self.n_shards == 1:
                 # no split needed (the pipeline Morton-sorts on device) —
                 # the host argsort would cost ~10 ms per 131k-point scan
                 shards = [chunk]
             else:
                 shards = sharded.rebalance_chunks(
-                    sharded.owner_split(chunk, self._bounds, self._origin,
+                    sharded.owner_split(chunk, bounds, self._origin,
                                         self.config), cap)
             per = max(len(c) for c in shards)
             bucket = next((b for b in buckets if b >= per), cap)
@@ -181,7 +182,7 @@ class ShardedTSDFMap(TSDFMap):
                 n_per = distributed.global_shard_array(
                     n_per, self.mesh, P(self.axis))
             self.state_stack, metrics = self._step_for(bucket, impl)(
-                self.state_stack, padded, n_per, position, self._bounds)
+                self.state_stack, padded, n_per, position, bounds)
             for k, v in metrics.items():
                 metrics_acc[k] = (metrics_acc[k] + v) if k in metrics_acc \
                     else v
@@ -200,6 +201,15 @@ class ShardedTSDFMap(TSDFMap):
             self._warn_overflow()
         self.last_metrics = metrics_acc
         return metrics_acc
+
+    def _active_nonempty(self) -> bool:
+        return self.state_stack is not None and \
+            int(np.asarray(_total_blocks(self.state_stack))) > 0
+
+    def _clear_active(self) -> None:
+        self.state_stack = None
+        self._origin = None
+        self._bounds = None
 
     def _start_submap(self, position: np.ndarray) -> None:
         origin = origin_blocks_for_position(position, self.config)
@@ -272,6 +282,7 @@ class ShardedTSDFMap(TSDFMap):
                 "this.", stacklevel=3)
             warned.add(name)
         self._overflow_warned = warned
+        self._checked_at_insert = getattr(self, "_n_inserts", 0)
 
     def stats(self) -> dict:
         self._warn_overflow()

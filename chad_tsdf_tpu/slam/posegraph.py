@@ -239,13 +239,19 @@ def optimize_poses(graph: PoseGraph, init_poses: np.ndarray,
     residual scale in se(3) tangent units; set 0 for the plain quadratic)
     with a two-phase schedule: the first half of the iterations runs the
     redescending DCS kernel (a gross outlier's pull vanishes, so it never
-    bends the trajectory, while inlier loop closures re-engage as their
-    residuals shrink), then edges whose residual norm still exceeds
-    ``3 * huber_delta`` are GATED OUT (chi^2 rejection) and the remaining
-    iterations re-optimize the surviving edges quadratically.  A grossly
-    wrong loop-closure constraint (the norm in real place recognition) is
-    thus switched off instead of dragging the trajectory
-    (tests/test_posegraph.py::test_outlier_loop_edge_is_rejected);
+    bends the trajectory), then edges whose residual norm still exceeds
+    ``3 * huber_delta`` become GATE CANDIDATES.  Because a single
+    high-residual edge is ambiguous — a wrong constraint, or a CORRECT
+    loop closure spanning large drift that DCS starved of influence — the
+    candidates are resolved by a hypothesis test: both models (edges
+    dropped vs all edges kept) are optimized quadratically and the one
+    with the lower bounded saturating cost wins.  A consistent graph
+    drives every term to ~0, so a large-drift closure is KEPT and
+    converges (tests/test_posegraph.py::
+    test_large_drift_loop_closure_not_gated); an inconsistent edge
+    saturates when dropped but smears residual over the whole graph when
+    kept, so a gross outlier is REJECTED
+    (tests/test_posegraph.py::test_outlier_loop_edge_is_rejected).
     ``stats["gated_edges"]`` reports how many were rejected.
 
     With ``mesh`` given, edges are sharded over the mesh axis and each
@@ -317,29 +323,63 @@ def optimize_poses(graph: PoseGraph, init_poses: np.ndarray,
     costs = []
     gated = 0
     init_poses_j = poses
-    for it in range(iterations):
-        if (huber_delta > 0 and modes[it] == "quad" and
-                (it == 0 or modes[it - 1] == "dcs")):
-            # phase boundary: chi^2 gate — edges the Huber phase could not
-            # bring near consistency are outliers; drop them for the
-            # quadratic refinement
-            rn = np.asarray(res_norms(poses))
-            gate = rn > 3.0 * huber_delta
-            gated = int(gate.sum())
-            if gated:
-                wh = np.asarray(weights_run).copy()
-                wh[:e] = np.where(gate, 0.0, np.asarray(weights))
-                weights_run = jnp.asarray(wh)
-        accumulate = acc_cache[modes[it]]
-        H, b, cost = accumulate(poses, weights_run)
-        costs.append(float(cost))
-        # gauge fix: clamp node 0 by lifting its diagonal block
-        gauge = jnp.zeros(6 * n).at[:6].set(1e12)
-        Hd = H + jnp.diag(gauge + damping * jnp.maximum(jnp.diag(H), 1.0))
-        dx = -jnp.linalg.solve(Hd, b)
-        poses = apply_fn(poses, dx)
-        if costs[-1] < 1e-18:
-            break
+
+    def run_phase(poses, weights_j, mode, n_iter):
+        acc = acc_cache[mode]
+        for _ in range(n_iter):
+            H, b, cost = acc(poses, weights_j)
+            costs.append(float(cost))
+            # gauge fix: clamp node 0 by lifting its diagonal block
+            gauge = jnp.zeros(6 * n).at[:6].set(1e12)
+            Hd = H + jnp.diag(gauge +
+                              damping * jnp.maximum(jnp.diag(H), 1.0))
+            dx = -jnp.linalg.solve(Hd, b)
+            poses = apply_fn(poses, dx)
+            if costs[-1] < 1e-18:
+                break
+        return poses
+
+    def saturating_cost(poses):
+        """Bounded (Geman-McClure-saturating) total cost over ALL edges:
+        each edge contributes at most phi = huber_delta^2, so an
+        unsatisfiable edge adds a constant instead of dominating — the
+        model-selection score for the gate hypothesis test."""
+        rn = np.asarray(res_norms(poses)).astype(np.float64)
+        chi2 = np.asarray(weights, np.float64) * rn * rn
+        phi = float(huber_delta) ** 2
+        return float((phi * chi2 / (phi + chi2)).sum())
+
+    n_dcs = sum(m == "dcs" for m in modes)
+    n_quad = len(modes) - n_dcs
+    if huber_delta > 0 and n_dcs:
+        poses = run_phase(poses, weights_run, "dcs", n_dcs)
+        rn = np.asarray(res_norms(poses))
+        gate = rn[:e] > 3.0 * huber_delta
+        gated = int(gate.sum())
+        if gated == 0:
+            poses = run_phase(poses, weights_run, "quad", n_quad)
+        else:
+            # A single high-residual edge is ambiguous: a grossly wrong
+            # constraint (gate it) or a CORRECT loop closure closing a
+            # large drift (keep it — DCS starved it of influence, so its
+            # residual never shrank).  Decide by hypothesis test: optimize
+            # both models quadratically and keep the one with the lower
+            # SATURATING cost over all edges — a consistent graph drives
+            # every term to ~0 (keep wins), an inconsistent edge saturates
+            # at phi when dropped but smears bounded-but-nonzero residual
+            # over the whole graph when kept (drop wins).
+            wh = np.asarray(weights_run).copy()
+            wh[:e] = np.where(gate, 0.0, np.asarray(weights))
+            poses_drop = run_phase(poses, jnp.asarray(wh), "quad",
+                                   max(n_quad, 1))
+            poses_keep = run_phase(init_poses_j, weights_run, "quad",
+                                   max(n_quad, n_dcs, 1))
+            if saturating_cost(poses_keep) < saturating_cost(poses_drop):
+                poses, gated = poses_keep, 0
+            else:
+                poses, weights_run = poses_drop, jnp.asarray(wh)
+    else:
+        poses = run_phase(poses, weights_run, "quad", iterations)
     # report costs on one consistent scale — the plain weighted quadratic
     # over the SURVIVING (non-gated) edges at the initial and final poses
     # (per-iteration robust costs are not comparable across kernel phases)

@@ -334,3 +334,17 @@ def test_device_weld_keys():
     got = (np.asarray(khi)[0].astype(np.uint64) << np.uint64(32)) | \
         np.asarray(klo)[0].astype(np.uint64)
     np.testing.assert_array_equal(got, host_key)
+
+
+def test_device_mc_no_surface():
+    """An all-positive SDF field (no zero crossing) must mesh to an empty
+    TriangleMesh through the full device path — exercises the n_tris=0 /
+    n_verts=0 edges of the two-pass sizing and the device weld."""
+    from chad_tsdf_tpu.mesh.device_mc import marching_cubes_device
+
+    coords = np.stack(np.meshgrid(np.arange(8), np.arange(8), np.arange(8),
+                                  indexing="ij"), -1).reshape(-1, 3)
+    codes = np.sort(morton.np_encode63(coords.astype(np.int32)))
+    sd = np.full(len(codes), 0.07, np.float32)       # all outside
+    mesh = marching_cubes_device(codes, sd, 0.05)
+    assert mesh.n_vertices == 0 and mesh.n_faces == 0

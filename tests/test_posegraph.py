@@ -120,3 +120,41 @@ def test_outlier_loop_edge_is_rejected():
     err_quad = np.linalg.norm(opt_quad[:, :3, 3] - opt_clean[:, :3, 3],
                               axis=1)
     assert err_quad.max() > 10 * err_rob.max()
+
+
+def test_large_drift_loop_closure_not_gated():
+    """A CORRECT loop closure spanning large systematic drift must engage,
+    not be mistaken for an outlier: biased odometry (constant rotational
+    error per step) accumulates ~15 m of drift, and the truthful loop edge
+    is the only thing that can fix it.  The robust default must converge
+    like the plain quadratic does (code-review r5 finding #1)."""
+    from chad_tsdf_tpu.slam.posegraph import PoseGraph, se3_exp
+
+    gt = circle_trajectory()
+    t = len(gt)
+    bias = np.asarray(se3_exp(jnp.asarray(
+        [0.0, 0.0, 0.0, 0.0, 0.0, np.deg2rad(6.0)])))
+    edges, zs = [], []
+    for i in range(t - 1):
+        z = (np.linalg.inv(gt[i]) @ gt[i + 1]) @ bias
+        edges.append((i, i + 1))
+        zs.append(z)
+    graph = PoseGraph(t, np.asarray(edges, np.int32),
+                      np.asarray(zs, np.float32),
+                      np.ones(len(edges), np.float32))
+    z_loop = np.linalg.inv(gt[-1]) @ gt[0]
+    graph = add_edge(graph, t - 1, 0, z_loop, weight=10.0)
+
+    init = [gt[0]]
+    for k in range(t - 1):
+        init.append(init[-1] @ graph.measurements[k].astype(np.float64))
+    init = np.asarray(init)
+    drift0 = np.linalg.norm(init[-1][:3, 3] - gt[-1][:3, 3])
+    assert drift0 > 5.0                       # the drift really is large
+
+    opt, stats = optimize_poses(graph, init, iterations=20,
+                                huber_delta=1.0)
+    assert stats["gated_edges"] == 0, stats   # the loop edge survived
+    drift1 = np.linalg.norm(opt[-1][:3, 3] - gt[-1][:3, 3])
+    assert drift1 < 0.1 * drift0, (drift0, drift1)
+    assert np.isfinite(opt).all()
