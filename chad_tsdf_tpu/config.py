@@ -121,6 +121,21 @@ class MapConfig:
     # in flight before the oldest is forced to materialize (bounds device
     # memory held by deferred finalizes; see core/submap.PendingSubmap)
     max_pending_finalize: int = 4
+
+    # --- space carving (reference roadmap README.md:60 — unbuilt there;
+    # see core/carve.py for semantics) ---
+    # free-space samples per carve ray; 0 = carving off (default).  The
+    # carved range from the scanner is carve_steps * carve_stride * sdf_res
+    # metres (48 * 2 * 0.05 = 4.8 m at the defaults).
+    carve_steps: int = 0
+    # spacing between consecutive free-space samples along a ray [voxels]
+    carve_stride: float = 2.0
+    # carve every Nth point's ray (free-space evidence is spatially
+    # redundant across neighbouring LiDAR returns)
+    carve_subsample: int = 2
+    # observation weight of one free-space sample relative to a band
+    # sample's 1.0 — lower it to soften erosion near valid surfaces
+    carve_weight: float = 1.0
     # print per-stage wall times like the reference's fmt timers
     # (morton.hpp:78,100, normals.hpp:146, octree.hpp:169, tsdf.cpp:74)
     profile: bool = False
@@ -194,3 +209,10 @@ class MapConfig:
             raise ValueError(f"bad normals_impl {self.normals_impl!r}")
         if self.mesh_impl not in ("auto", "device", "host"):
             raise ValueError(f"bad mesh_impl {self.mesh_impl!r}")
+        if self.carve_steps < 0:
+            raise ValueError("carve_steps must be >= 0")
+        if self.carve_steps > 0 and (self.carve_stride <= 0
+                                     or self.carve_subsample < 1
+                                     or self.carve_weight <= 0):
+            raise ValueError("carving needs carve_stride > 0, "
+                             "carve_subsample >= 1, carve_weight > 0")

@@ -32,7 +32,7 @@ from ..config import MapConfig
 from ..mesh import grid as grid_io
 from ..mesh import marching_cubes, write_ply
 from ..ops import codec, morton
-from . import dag, integrate, submap as submap_mod
+from . import carve, dag, integrate, submap as submap_mod
 from .state import create_state, origin_blocks_for_position
 
 
@@ -167,9 +167,17 @@ class TSDFMap:
                 q = integrate.pack_points(chunk, position, cfg.sdf_res)
                 self.state, metrics = integrate.insert_step_packed(
                     self.state, q, np.int32(n), position, cfg)
+                if cfg.carve_steps > 0:
+                    self.state, cmetrics = carve.carve_step_packed(
+                        self.state, q, np.int32(n), position, cfg)
+                    metrics.update(cmetrics)
             else:
                 self.state, metrics = integrate.insert_step(
                     self.state, chunk, np.int32(n), position, cfg)
+                if cfg.carve_steps > 0:
+                    self.state, cmetrics = carve.carve_step(
+                        self.state, chunk, np.int32(n), position, cfg)
+                    metrics.update(cmetrics)
             # accumulate on device: no host readback on the insert path
             # (LazyMetrics docstring — a sync here stalls the stream)
             for k, v in metrics.items():

@@ -74,6 +74,12 @@ class ShardedTSDFMap(TSDFMap):
                  config: MapConfig | None = None, mesh=None,
                  halo_capacity: int | None = None, axis: str = "shard"):
         super().__init__(sdf_res, sdf_trunc, config)
+        if self.config.carve_steps > 0:
+            # free-space rays cross shard-ownership boundaries, so carve
+            # evidence would need its own routing pass; not wired up yet
+            raise ValueError(
+                "space carving (carve_steps > 0) is supported on the "
+                "single-device TSDFMap only for now")
         self.mesh = mesh if mesh is not None else sharded.make_mesh(axis=axis)
         self.axis = axis
         self.n_shards = int(self.mesh.devices.size)
