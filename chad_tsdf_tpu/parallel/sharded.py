@@ -318,6 +318,60 @@ def make_sharded_insert(config: MapConfig, mesh: Mesh,
     return step, halo_capacity
 
 
+def make_sharded_carve(config: MapConfig, mesh: Mesh, axis: str = "shard"):
+    """Jitted SPMD space-carving step (see core/carve.py for semantics).
+
+    The FULL scan is replicated to every shard (``P()`` input spec); each
+    shard runs the single-device carve body against its own directory.
+    The erosion-only rule (lookup, never allocate) makes replication
+    correct by construction: a shard applies exactly the free-space
+    evidence that lands in blocks it holds and drops the rest, so across
+    the mesh every sample is applied at most once per holder — no routing
+    pass needed.  Edge case, documented: a block held twice (its owner AND
+    a shard that deferred it under ``route_overflow``) receives the carve
+    evidence twice until the finalize-time exact merge; route_overflow is
+    zero in all measured runs and carving is approximate evidence, so this
+    is accepted rather than routed around.
+
+    Returns ``step(state_stack, points, n_points, position) ->
+    (state_stack, metrics)`` where ``points`` is the full (padded) scan —
+    f32[(Np, 3)] or, under ``config.packed_ingest``, the same i16
+    fixed-point array the insert step ships.
+    """
+    from ..core import carve as carve_mod
+
+    def shard_fn(state, points, n_points, position):
+        state = jax.tree.map(lambda x: x[0], state)
+        if config.packed_ingest:
+            step_q = jnp.float32(config.sdf_res / 8.0)
+            points = points.astype(jnp.float32) * step_q + position[None, :]
+        state, metrics = carve_mod.carve_step_impl(
+            state, points, n_points, position, config)
+        # every shard sees the identical replicated sample stream, so the
+        # per-shard (hits + dropped) total is replicated too; the global
+        # dropped count is that total minus ALL shards' hits (a sample is
+        # only truly dropped when no shard holds its block)
+        n_valid = metrics["n_carve_samples"] + metrics["n_carve_dropped"]
+        metrics = {k: jax.lax.psum(v, axis) for k, v in metrics.items()}
+        n_shards = mesh.devices.size
+        metrics["n_carve_dropped"] = (
+            jax.lax.psum(n_valid, axis) // n_shards
+            - metrics["n_carve_samples"])
+        state = jax.tree.map(lambda x: x[None], state)
+        return state, metrics
+
+    pspec = jax.tree.map(lambda _: P(axis),
+                         jax.eval_shape(lambda: create_state(config)))
+    return jax.jit(
+        jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(pspec, P(), P(), P()),
+            out_specs=(pspec, P()),
+            check_vma=False,
+        ),
+        donate_argnums=(0,))
+
+
 def point_block_keys(points: np.ndarray, origin_blocks: np.ndarray,
                      config: MapConfig) -> np.ndarray:
     """Host-side local block key per point — the exact mapping of

@@ -74,12 +74,6 @@ class ShardedTSDFMap(TSDFMap):
                  config: MapConfig | None = None, mesh=None,
                  halo_capacity: int | None = None, axis: str = "shard"):
         super().__init__(sdf_res, sdf_trunc, config)
-        if self.config.carve_steps > 0:
-            # free-space rays cross shard-ownership boundaries, so carve
-            # evidence would need its own routing pass; not wired up yet
-            raise ValueError(
-                "space carving (carve_steps > 0) is supported on the "
-                "single-device TSDFMap only for now")
         self.mesh = mesh if mesh is not None else sharded.make_mesh(axis=axis)
         self.axis = axis
         self.n_shards = int(self.mesh.devices.size)
@@ -111,6 +105,19 @@ class ShardedTSDFMap(TSDFMap):
             self.halo_capacity = cap
             self._steps[(bucket, impl)] = step
         return step
+
+    def _carve_step_for(self, bucket: int):
+        key = ("carve", self.config,
+               tuple(d.id for d in self.mesh.devices.flat),
+               self.axis, bucket)
+        cached = _STEP_CACHE.get(key)
+        if cached is None:
+            cfg = dataclasses.replace(self.config, max_points=bucket,
+                                      point_buckets=())
+            cached = sharded.make_sharded_carve(cfg, self.mesh,
+                                                axis=self.axis)
+            _STEP_CACHE[key] = cached
+        return cached
 
     # -- the sharded active map replaces the single-device self.state ------
     def insert(self, points, position) -> dict:
@@ -189,6 +196,25 @@ class ShardedTSDFMap(TSDFMap):
                     n_per, self.mesh, P(self.axis))
             self.state_stack, metrics = self._step_for(bucket, impl)(
                 self.state_stack, padded, n_per, position, bounds)
+            if self.config.carve_steps > 0:
+                # the carve step takes the full UNSPLIT chunk, replicated:
+                # erosion-only lookup means each shard keeps exactly the
+                # evidence landing in blocks it holds (make_sharded_carve)
+                full = np.zeros((self.n_shards * bucket, 3), np.float32)
+                full[:len(chunk)] = chunk
+                if self.config.packed_ingest:
+                    full = integrate.pack_points(full, position,
+                                                 self.config.sdf_res)
+                n_full = np.int32(len(chunk))
+                if jax.process_count() > 1:
+                    from jax.sharding import PartitionSpec as P
+
+                    from . import distributed
+                    full = distributed.global_shard_array(
+                        full, self.mesh, P())
+                self.state_stack, cmetrics = self._carve_step_for(bucket)(
+                    self.state_stack, full, n_full, position)
+                metrics.update(cmetrics)
             for k, v in metrics.items():
                 metrics_acc[k] = (metrics_acc[k] + v) if k in metrics_acc \
                     else v

@@ -12,6 +12,7 @@ test.
 
 import dataclasses
 
+import jax
 import numpy as np
 import pytest
 
@@ -236,10 +237,65 @@ def test_carve_deterministic():
     np.testing.assert_array_equal(pools[0][1], pools[1][1])
 
 
-def test_carve_off_by_default_and_sharded_guard():
+def test_carve_off_by_default_and_validation():
     assert MapConfig().carve_steps == 0
     with pytest.raises(ValueError):
         MapConfig(carve_steps=8, carve_weight=0.0)
-    from chad_tsdf_tpu.parallel.sharded_map import ShardedTSDFMap
     with pytest.raises(ValueError):
-        ShardedTSDFMap(config=MapConfig(carve_steps=8))
+        MapConfig(carve_steps=-1)
+
+
+def test_sharded_carve_n1_matches_single_device_exactly():
+    """At N=1 the sharded carve step runs the identical body on the
+    identical replicated scan: pools bit-equal to TSDFMap with carving."""
+    from chad_tsdf_tpu.parallel import ShardedTSDFMap, make_mesh
+
+    position = np.zeros(3, np.float32)
+    wall = _wall(2.5, n=600, seed=5)
+    cfg = dataclasses.replace(CFG, max_points=1024)
+
+    smap = ShardedTSDFMap(config=cfg, mesh=make_mesh(1))
+    ref = TSDFMap(config=cfg)
+    for beg in range(0, len(wall), 1024):
+        smap.insert(wall[beg:beg + 1024], position)
+        ref.insert(wall[beg:beg + 1024], position)
+
+    st = smap.state_stack
+    np.testing.assert_array_equal(np.asarray(st.pool_sd[0]),
+                                  np.asarray(ref.state.pool_sd))
+    np.testing.assert_array_equal(np.asarray(st.pool_w[0]),
+                                  np.asarray(ref.state.pool_w))
+    assert int(smap.last_metrics["n_carve_samples"]) == \
+        int(ref.last_metrics["n_carve_samples"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_carve_erodes_stale_wall():
+    """The sharded map with carving erodes a stale wall exactly like the
+    single-device path: erosion-only replication applies each free-space
+    sample on whichever shard holds its block."""
+    from chad_tsdf_tpu.parallel import ShardedTSDFMap, make_mesh
+
+    cfg = dataclasses.replace(CFG, carve_steps=96, carve_stride=1.0,
+                              max_points=1024)
+    m = ShardedTSDFMap(config=cfg, mesh=make_mesh(8))
+    position = np.float32([0, 0, 0])
+    stale = _wall(2.0, n=800, seed=1)
+    for beg in range(0, len(stale), 1024):
+        m.insert(stale[beg:beg + 1024], position)
+    near0 = np.sum(np.abs(m.extract_mesh().vertices[:, 0] - 2.0) < 0.15)
+    assert near0 > 0
+
+    for i in range(16):
+        far = _wall(4.0, n=800, half=1.2, seed=10 + i)
+        for beg in range(0, len(far), 1024):
+            m.insert(far[beg:beg + 1024], position)
+    met = m.last_metrics
+    assert int(met["n_carve_samples"]) > 0
+    assert int(met["n_carve_dropped"]) >= 0
+
+    mesh1 = m.extract_mesh()
+    near1 = np.sum(np.abs(mesh1.vertices[:, 0] - 2.0) < 0.15)
+    far1 = np.sum(np.abs(mesh1.vertices[:, 0] - 4.0) < 0.15)
+    assert near1 == 0, f"stale wall still meshed ({near1} verts)"
+    assert far1 > 0
