@@ -739,6 +739,114 @@ def insert_step_sample_tiled(state: ActiveMapState, points, n_points,
     return state, metrics
 
 
+def sparse_seg_entry_stream(points, n_points, position, origin_blocks,
+                            config: MapConfig):
+    """Sparse-insert front half: per-UNIQUE-VOXEL entries for one cloud.
+
+    Sort -> segmented reduce -> compact (steps 1-3 of the
+    ``insert_step_sparse_seg`` pipeline, see its docstring).  Returns
+    ``(e_b, e_okey, e_sd_q, e_w, e_total, n_valid_samples, batch)`` where
+    the entry arrays are (S,) with the live entries an ascending-block
+    prefix ``[:e_total]`` and INT32_MAX keys beyond; ``e_sd_q`` is the
+    per-voxel SUM of 16-bit-quantized signed distances carried exactly in
+    f32 (scaled to metres by :func:`seg_entries_update`).
+
+    Factored out so the sharded path can route the *entry stream* between
+    shards (per-voxel entries are the natural halo unit of the sparse
+    shape: ~16 B each, already consolidated) instead of integrating into a
+    scratch pool and routing (512-lane) block rows.
+    """
+    batch = compute_samples(points, n_points, position, origin_blocks,
+                            config)
+    sb, sp = jax.lax.sort((batch.bkey, batch.payload), num_keys=2)
+    s = sb.shape[0]
+    valid = sb != INT32_MAX
+    n_valid_samples = jnp.sum(valid).astype(jnp.int32)
+    okey = (sp >> 16) & 0x1FF
+    q = (sp << 16) >> 16                       # sign-extended sd16
+
+    raw_flags = segops.boundary_flags((sb, okey))
+    vflags = raw_flags & valid
+    vals = jnp.stack([q.astype(jnp.float32), jnp.ones((s,), jnp.float32)])
+    vals = vals * valid.astype(jnp.float32)[None, :]
+    sums = segops.segmented_sum_scan(vflags, vals)          # (2, S)
+    # a voxel ends where the NEXT sample starts a new key — including the
+    # valid->invalid transition (raw flags, NOT the valid-masked ones, or
+    # the last valid voxel of the stream would never emit an entry)
+    is_end = jnp.concatenate([raw_flags[1:], jnp.ones((1,), jnp.bool_)])
+    live_end = is_end & valid
+
+    # entry compaction: ONE sort keyed on flagged position with the entry
+    # fields riding as payload operands — an XLA gather of 655k rows costs
+    # ~8.6 ms per array on v5e while this whole 5-operand sort is ~7.6 ms
+    # (same no-gather trick as sort_points_soa)
+    iota = jnp.arange(s, dtype=jnp.int32)
+    marked = jnp.where(live_end, iota, jnp.int32(s))
+    ek = jnp.where(live_end, sb, INT32_MAX)
+    eo = jnp.where(live_end, okey, 0)
+    (_, e_b_full, e_okey_full, e_sd_full, e_w_full) = jax.lax.sort(
+        (marked, ek, eo, sums[0], sums[1]), num_keys=1)
+    e_total = jnp.sum(live_end).astype(jnp.int32)
+    return (e_b_full, e_okey_full, e_sd_full, e_w_full, e_total,
+            n_valid_samples, batch)
+
+
+def seg_entries_update(state: ActiveMapState, pool_sd, pool_w, e_b, e_okey,
+                       e_sd_q, e_w, config: MapConfig):
+    """Sparse-insert back half: directory update + compacted pool scatter
+    over a block-sorted entry stream (steps 4-5 of
+    ``insert_step_sparse_seg``).
+
+    ``e_b`` must be ascending with INT32_MAX marking invalid entries
+    (validity is derived from the key, so a merged local+halo stream works
+    unchanged); duplicate (block, offset) entries are legal — the
+    scatter-add accumulates them (associative sums).  ``e_sd_q`` is in
+    16-bit-quant units; the metre scaling happens here.
+    """
+    cb = config.block_capacity
+    e_cap = e_b.shape[0]
+    # each entry opens at most one block, so touched capacity beyond the
+    # stream length is dead shape (and the stage slices below need
+    # t_cap <= e_cap)
+    t_cap = min(config.touched_capacity, e_cap)
+    reserved_row = cb - 1
+    evalid = e_b != INT32_MAX
+    e_sd = e_sd_q * (config.sdf_trunc / SD_QUANT)
+
+    # touched blocks over the entry stream (entries are sorted by
+    # block key: the producing sorts are stable on equal keys)
+    bflags = segops.boundary_flags(e_b) & evalid
+    emarked = jnp.where(bflags, jnp.arange(e_cap, dtype=jnp.int32),
+                        jnp.int32(e_cap))
+    bpos = jax.lax.sort((emarked,), num_keys=1)[0]
+    t_total = jnp.sum(bflags).astype(jnp.int32)
+    t_count = jnp.minimum(t_total, t_cap)
+    touched_overflow = jnp.maximum(t_total - t_cap, 0)
+    starts = bpos[:t_cap]
+    tvalid = jnp.arange(t_cap, dtype=jnp.int32) < t_count
+    starts_c = jnp.minimum(starts, e_cap - 1)
+    tb_keys = jnp.where(tvalid, e_b[starts_c], INT32_MAX)
+
+    (dir_keys, dir_slots, n_blocks, tb_slots, n_new,
+     block_overflow) = _directory_update(state, tb_keys, tvalid, config)
+
+    # per-entry pool slot: scatter each touched block's slot to its
+    # first entry, then a segmented forward carry — no big gather
+    slot_at = jnp.full((e_cap,), reserved_row, jnp.int32)
+    starts_put = jnp.where(tvalid, starts, jnp.int32(e_cap))
+    slot_at = slot_at.at[starts_put].set(tb_slots, mode="drop")
+    e_slot = segops.segment_broadcast_first(bflags, slot_at)
+
+    ok = evalid & (e_slot != reserved_row) & (e_b != INT32_MAX)
+    idx = jnp.where(ok, e_slot * 512 + e_okey, cb * 512)
+    new_sd = pool_sd.reshape(-1).at[idx].add(
+        jnp.where(ok, e_sd, 0.0), mode="drop").reshape(pool_sd.shape)
+    new_w = pool_w.reshape(-1).at[idx].add(
+        jnp.where(ok, e_w, 0.0), mode="drop").reshape(pool_w.shape)
+    return (new_sd, new_w, dir_keys, dir_slots, n_blocks, t_count,
+            n_new, block_overflow, touched_overflow)
+
+
 def insert_step_sparse_seg(state: ActiveMapState, points, n_points,
                            position, config: MapConfig,
                            interpret: bool | None = None):
@@ -775,86 +883,19 @@ def insert_step_sparse_seg(state: ActiveMapState, points, n_points,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     del interpret   # pure-XLA path: identical code on CPU and TPU
-    cb = config.block_capacity
-    t_cap = config.touched_capacity
-    reserved_row = cb - 1
 
-    batch = compute_samples(points, n_points, position, state.origin_blocks,
-                            config)
-    sb, sp = jax.lax.sort((batch.bkey, batch.payload), num_keys=2)
-    s = sb.shape[0]
-    valid = sb != INT32_MAX
-    n_valid_samples = jnp.sum(valid).astype(jnp.int32)
-    okey = (sp >> 16) & 0x1FF
-    q = (sp << 16) >> 16                       # sign-extended sd16
-
-    raw_flags = segops.boundary_flags((sb, okey))
-    vflags = raw_flags & valid
-    vals = jnp.stack([q.astype(jnp.float32), jnp.ones((s,), jnp.float32)])
-    vals = vals * valid.astype(jnp.float32)[None, :]
-    sums = segops.segmented_sum_scan(vflags, vals)          # (2, S)
-    # a voxel ends where the NEXT sample starts a new key — including the
-    # valid->invalid transition (raw flags, NOT the valid-masked ones, or
-    # the last valid voxel of the stream would never emit an entry)
-    is_end = jnp.concatenate([raw_flags[1:], jnp.ones((1,), jnp.bool_)])
-    live_end = is_end & valid
-
-    # entry compaction: ONE sort keyed on flagged position with the entry
-    # fields riding as payload operands — an XLA gather of 655k rows costs
-    # ~8.6 ms per array on v5e while this whole 5-operand sort is ~7.6 ms
-    # (same no-gather trick as sort_points_soa)
-    iota = jnp.arange(s, dtype=jnp.int32)
-    marked = jnp.where(live_end, iota, jnp.int32(s))
-    ek = jnp.where(live_end, sb, INT32_MAX)
-    eo = jnp.where(live_end, okey, 0)
-    (_, e_b_full, e_okey_full, e_sd_full, e_w_full) = jax.lax.sort(
-        (marked, ek, eo, sums[0], sums[1]), num_keys=1)
-    e_total = jnp.sum(live_end).astype(jnp.int32)
-
-    sd_scale = config.sdf_trunc / SD_QUANT
+    (e_b_full, e_okey_full, e_sd_full, e_w_full, e_total,
+     n_valid_samples, batch) = sparse_seg_entry_stream(
+        points, n_points, position, state.origin_blocks, config)
+    s = e_b_full.shape[0]
 
     def with_entry_cap(e_cap: int):
         def run(args):
             pool_sd, pool_w = args
-            evalid = jnp.arange(e_cap, dtype=jnp.int32) < e_total
-            e_b = e_b_full[:e_cap]        # INT32_MAX beyond e_total
-            e_okey = e_okey_full[:e_cap]
-            e_sd = e_sd_full[:e_cap] * sd_scale
-            e_w = e_w_full[:e_cap]
-
-            # touched blocks over the entry stream (entries are sorted by
-            # block key: the sorts above are stable on equal keys)
-            bflags = segops.boundary_flags(e_b) & evalid
-            emarked = jnp.where(bflags, jnp.arange(e_cap, dtype=jnp.int32),
-                                jnp.int32(e_cap))
-            bpos = jax.lax.sort((emarked,), num_keys=1)[0]
-            t_total = jnp.sum(bflags).astype(jnp.int32)
-            t_count = jnp.minimum(t_total, t_cap)
-            touched_overflow = jnp.maximum(t_total - t_cap, 0)
-            starts = bpos[:t_cap]
-            tvalid = jnp.arange(t_cap, dtype=jnp.int32) < t_count
-            starts_c = jnp.minimum(starts, e_cap - 1)
-            tb_keys = jnp.where(tvalid, e_b[starts_c], INT32_MAX)
-
-            (dir_keys, dir_slots, n_blocks, tb_slots, n_new,
-             block_overflow) = _directory_update(state, tb_keys, tvalid,
-                                                 config)
-
-            # per-entry pool slot: scatter each touched block's slot to its
-            # first entry, then a segmented forward carry — no big gather
-            slot_at = jnp.full((e_cap,), reserved_row, jnp.int32)
-            starts_put = jnp.where(tvalid, starts, jnp.int32(e_cap))
-            slot_at = slot_at.at[starts_put].set(tb_slots, mode="drop")
-            e_slot = segops.segment_broadcast_first(bflags, slot_at)
-
-            ok = evalid & (e_slot != reserved_row) & (e_b != INT32_MAX)
-            idx = jnp.where(ok, e_slot * 512 + e_okey, cb * 512)
-            new_sd = pool_sd.reshape(-1).at[idx].add(
-                jnp.where(ok, e_sd, 0.0), mode="drop").reshape(pool_sd.shape)
-            new_w = pool_w.reshape(-1).at[idx].add(
-                jnp.where(ok, e_w, 0.0), mode="drop").reshape(pool_w.shape)
-            return (new_sd, new_w, dir_keys, dir_slots, n_blocks, t_count,
-                    n_new, block_overflow, touched_overflow)
+            return seg_entries_update(
+                state, pool_sd, pool_w, e_b_full[:e_cap],
+                e_okey_full[:e_cap], e_sd_full[:e_cap], e_w_full[:e_cap],
+                config)
         return run
 
     buckets = sorted({max(1024, s // 4), max(1024, 3 * s // 8),

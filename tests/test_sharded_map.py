@@ -235,3 +235,4 @@ def test_sharded_overflow_warns():
     msgs = [str(r.message) for r in rec]
     assert any("block_capacity" in m or "touched_capacity" in m
                for m in msgs), msgs
+
