@@ -284,10 +284,11 @@ class TSDFMap:
         return a
 
     def _finalize_active(self) -> None:
-        """Deferred rotation: one combined scalar readback + async device->
-        host copy now (submap_mod.start_finalize), DAG materialization
-        later (:meth:`_drain_pending`) — a synchronous finalize stalls the
-        stream 1-2 s on the remote-TPU link."""
+        """Fully deferred rotation: stash the rotated-out device state
+        (submap_mod.start_finalize — zero host syncs; even a counter
+        readback here drains the dispatch pipeline, ~250 ms measured);
+        readback, compaction, transfer and DAG build all happen at
+        :meth:`_drain_pending`."""
         p = submap_mod.start_finalize(
             self.state, self.config, self._positions,
             anchor=self._anchor_from(self._positions))

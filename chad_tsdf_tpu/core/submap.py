@@ -226,21 +226,59 @@ class PendingSubmap:
     link moves ~23 MB/s with ~25 ms per round trip, so a synchronous
     finalize (10-40 MB cluster transfer + host DAG build) costs 1-2 s per
     rotation — the dominant term of streaming latency (measured, round 4).
-    ``start_finalize`` instead does ONE combined scalar readback, dispatches
-    the device compaction, starts an async host copy and returns this stub;
-    ``finish_finalize`` materializes the DAG later (next save/stats/
-    checkpoint — or when ``MapConfig.max_pending_finalize`` stubs pile up),
-    by which time the bytes have usually already streamed.
+    Round 5 removed the last rotation-time sync as well: even the combined
+    counter READBACK stalls ~250 ms mid-stream, because its value depends
+    on every queued insert, so fetching it drains the whole dispatch
+    pipeline (measured: 2 rotations cost 490 ms of an 890 ms 11-scan
+    stream).  ``start_finalize`` now just STASHES the rotated-out device
+    state in this stub and returns — zero host syncs, zero device work on
+    the stream; the counter readback, right-sized compaction and transfer
+    all happen off-stream at the next drain (save/stats/checkpoint — or
+    when ``MapConfig.max_pending_finalize`` stubs pile up).  Cost: the
+    stub pins the full pool (2 x block_capacity x 512 f32) in device
+    memory until then, bounded by ``max_pending_finalize``.
     """
     buf: object                # device u32 buffer (None for an empty map)
     n_pad: int
     cap: int
     count: int
-    origin_blocks: np.ndarray
+    origin_blocks: np.ndarray | None
     positions: list
     anchor: object = None
+    raw_state: object = None   # rotated-out ActiveMapState, still on device
+    config: object = None      # MapConfig (needed to materialize off-stream)
+
+    def _materialize_device(self) -> None:
+        """Counter readback + right-sized device compaction (deferred off
+        the stream); releases the pinned raw state."""
+        if self.raw_state is None:
+            return
+        import warnings
+        state, config = self.raw_state, self.config
+        vals = np.asarray(_rotation_counters(state, config.block_capacity))
+        n_blocks, count = int(vals[0]), int(vals[1])
+        ovf = {k: int(v) for k, v in zip(
+            ("point_overflow", "sample_overflow", "block_overflow",
+             "touched_overflow"), vals[2:]) if int(v) > 0}
+        if ovf:
+            warnings.warn(
+                f"map capacity overflow — dropped data: {ovf}; raise the "
+                "corresponding MapConfig capacities (block_capacity/"
+                "touched_capacity/max_points) or shrink the scan extent",
+                RuntimeWarning, stacklevel=4)
+        self.origin_blocks = np.asarray(state.origin_blocks)
+        if n_blocks == 0 or count == 0:
+            self.buf, self.count = None, 0
+        else:
+            self.n_pad = max(1, 1 << (n_blocks - 1).bit_length())
+            self.cap = cap_bucket(count)
+            self.count = count
+            self.buf = _extract_clusters_compact(state, self.n_pad,
+                                                 self.cap, config.sdf_trunc)
+        self.raw_state = None          # release the pinned pool
 
     def start_copies(self) -> None:
+        self._materialize_device()
         if self.buf is not None:
             try:
                 self.buf.copy_to_host_async()
@@ -248,6 +286,7 @@ class PendingSubmap:
                 pass
 
     def finish(self, levels: NodeLevels, config: MapConfig) -> Submap:
+        self._materialize_device()
         return finish_finalize(self, levels, config)
 
 
@@ -278,35 +317,18 @@ def _rotation_counters(state: ActiveMapState, cb: int):
 
 def start_finalize(state: ActiveMapState, config: MapConfig,
                    positions: list, anchor=None) -> PendingSubmap:
-    """Begin finalizing the active map without blocking the stream."""
-    import warnings
-    vals = np.asarray(_rotation_counters(state, config.block_capacity))
-    n_blocks, count = int(vals[0]), int(vals[1])
-    ovf = {k: int(v) for k, v in zip(
-        ("point_overflow", "sample_overflow", "block_overflow",
-         "touched_overflow"), vals[2:]) if int(v) > 0}
-    if ovf:
-        warnings.warn(
-            f"map capacity overflow — dropped data: {ovf}; raise the "
-            "corresponding MapConfig capacities (block_capacity/"
-            "touched_capacity/max_points) or shrink the scan extent",
-            RuntimeWarning, stacklevel=3)
-    if n_blocks == 0 or count == 0:
-        return PendingSubmap(None, 0, 0, 0,
-                             np.asarray(state.origin_blocks),
-                             list(positions), anchor)
-    n_pad = max(1, 1 << (n_blocks - 1).bit_length())
-    cap = cap_bucket(count)
-    buf = _extract_clusters_compact(state, n_pad, cap, config.sdf_trunc)
-    # NOTE: the host copy is deliberately NOT started here — on a
-    # bandwidth-poor host link (the axon tunnel moves ~23 MB/s) an eager
-    # 6-10 MB device->host copy contends with the next scans' point
-    # uploads and delays every later readback queued behind it.  The
-    # buffer stays on device; TSDFMap._drain_pending() starts all pending
-    # copies together so transfers overlap the per-submap host DAG builds.
-    return PendingSubmap(buf, n_pad, cap, count,
-                         np.asarray(state.origin_blocks),
-                         list(positions), anchor)
+    """Begin finalizing the active map with ZERO host syncs.
+
+    Just stashes the rotated-out device state (see PendingSubmap).  Even
+    dispatching the compaction here would need the counter readback to
+    size its static shapes, and that readback waits on every queued insert
+    (~250 ms of pipeline drain mid-stream, measured round 5); nothing
+    about the rotated-out state is time-critical, so ALL of it — readback,
+    compaction, the 6-10 MB device->host copy (which on the ~23 MB/s
+    tunnel would also contend with the next scans' point uploads) —
+    happens off-stream at the next drain."""
+    return PendingSubmap(None, 0, 0, -1, None, list(positions), anchor,
+                         raw_state=state, config=config)
 
 
 def finish_finalize(pending: PendingSubmap, levels: NodeLevels,

@@ -771,6 +771,39 @@ def _pow2(n: int) -> int:
     return max(1, 1 << (max(n, 1) - 1).bit_length())
 
 
+@dataclasses.dataclass
+class PendingShardedStub:
+    """Zero-sync sharded rotation (mirrors core.submap.PendingSubmap's
+    round-5 form): stashes the rotated-out ``state_stack`` and defers the
+    ENTIRE ``start_finalize_sharded_global`` call — whose counter readback
+    waits on every queued insert (~250 ms of pipeline drain mid-stream,
+    measured on the single-device path) — to the next drain point.  Pins
+    the per-shard pools in device memory until then, bounded by
+    ``MapConfig.max_pending_finalize``."""
+    state_stack: object
+    mesh: object
+    config: object
+    positions: list
+    anchor: object
+    axis: str
+    inner: object = None
+
+    def _materialize(self):
+        if self.inner is None:
+            self.inner = start_finalize_sharded_global(
+                self.state_stack, self.mesh, self.config, self.positions,
+                anchor=self.anchor, axis=self.axis)
+            self.state_stack = None        # release the pinned pools
+
+    def start_copies(self) -> None:
+        self._materialize()
+        self.inner.start_copies()
+
+    def finish(self, levels, config):
+        self._materialize()
+        return self.inner.finish(levels, config)
+
+
 def start_finalize_sharded_global(state_stack, mesh, config: MapConfig,
                                   positions: list, anchor=None,
                                   axis: str = "shard"):
