@@ -84,11 +84,16 @@ def default_halo_capacity(n_shards: int, config: MapConfig) -> int:
     an ownership boundary.  Measured on the KITTI-shaped stream with the
     occupancy-adaptive bounds ShardedTSDFMap uses: ~250 of ~5,500 touched
     rows/scan at N=8, i.e. ~36 rows per (src,dst) pair — the default
-    reserves an eighth of the uniform ``touched_capacity`` share, >10x
-    that.  Rows beyond it defer locally (counted in ``route_overflow``,
-    merged exactly at finalize — never dropped), so a too-small capacity
-    costs deduplication latency, not data."""
-    cap = config.touched_capacity // (8 * max(n_shards, 1))
+    reserves a thirty-second of the uniform ``touched_capacity`` share
+    (128/pair at the KITTI config's N=8), ~4x that.  Materializing the
+    send buffers costs real time even when almost nothing is sent (the
+    round-5 shrink from an eighth cut the step's fixed overhead from
+    10.6 to 6.9 ms in the same link epoch), so the default is sized to
+    measured need, not worst case.  Rows beyond it defer locally
+    (counted in ``route_overflow``, merged exactly at finalize — never
+    dropped), so a too-small capacity costs deduplication latency, not
+    data."""
+    cap = config.touched_capacity // (32 * max(n_shards, 1))
     return max(64, -(-cap // 8) * 8)
 
 
