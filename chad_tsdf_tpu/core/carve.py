@@ -27,9 +27,16 @@ Use case (reference README.md:12 "real-time ... large-scale maps"): dynamic
 objects leave TSDF residue when they move away; free-space evidence from
 later scans pulls those voxels' running mean (``pool_sd / pool_w``) back
 toward ``+trunc`` until the zero crossing — and with it the mesh — is gone.
-Known tradeoff (documented, inherent to carving): a glancing ray passing
-within ``trunc`` of a *valid* surface contributes +trunc evidence there too;
-lower ``carve_weight`` to soften carving relative to band observations.
+Known tradeoffs (documented, inherent):
+* a glancing ray passing within ``trunc`` of a *valid* surface
+  contributes +trunc evidence there too; lower ``carve_weight`` to soften
+  carving relative to band observations;
+* carving updates the ACTIVE map only — rotated-out submaps are immutable
+  hash-consed DAGs (the submap model, reference submap.hpp:9-111), so a
+  dynamic object must be observed-through within its submap's lifetime
+  (``submap_distance`` of travel) to be erased; stale geometry in an
+  already-finalized submap is out of carving's reach, as it is for every
+  other mutation.
 
 Pipeline (pure XLA — identical on CPU and TPU; mirrors
 ``insert_step_sparse_seg``'s sort -> segment-reduce -> compact shape):
