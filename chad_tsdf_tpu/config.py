@@ -117,9 +117,12 @@ class MapConfig:
     # and 1/16 of the default voxel; inputs already on the packing grid
     # round-trip exactly.  Off by default (bit-reproducible f32 path).
     packed_ingest: bool = False
-    # max rotated-out submaps whose device->host cluster transfer may stay
-    # in flight before the oldest is forced to materialize (bounds device
-    # memory held by deferred finalizes; see core/submap.PendingSubmap)
+    # max rotated-out submaps that may stay deferred before the oldest is
+    # forced to materialize.  A deferred rotation pins the FULL rotated-out
+    # pool on device (2 x block_capacity x 512 f32 = 256 MiB at the
+    # defaults; zero-sync rotation, core/submap.PendingSubmap), so this
+    # bounds device memory at ~max_pending_finalize x pool size — lower it
+    # for very large block_capacity
     max_pending_finalize: int = 4
 
     # --- space carving (reference roadmap README.md:60 — unbuilt there;
